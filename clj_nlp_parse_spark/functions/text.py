@@ -1,0 +1,77 @@
+"""Catalyst-native text annotation: tokenize / POS / lemma / stopword.
+
+The hot path stays entirely JVM-side (whole-stage codegen): tokenization is
+`regexp_extract_all`, tagging/lemmatization are CASE expressions applied with
+the `transform` higher-order function — zero Python crossings. This is the
+engine's re-expression of the reference's per-record annotation operators
+A1/A3/A4/A5 (reference config.clj:64-106, stanford.clj:185-208,193-195);
+the composition P1/P2 (reference parse.clj:125-130, stanford.clj:494-516)
+becomes chained `withColumn` stages fused by Catalyst into one projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark import dialect
+
+
+def words_col(text_col: str = "text") -> Column:
+    """Array of lowercase word tokens."""
+    return F.expr(dialect.tokens_expr(text_col, "spark"))
+
+
+def annotated_tokens_sql(words: str = "words", dialect_name: str = "spark") -> str:
+    """SQL for array<struct<word,lemma,pos_tag,pos_type,is_stop,
+    is_stop_lemma,is_go>> from an array of lowercase words.
+
+    Two nested transform()s: the inner one computes tag + lemma once per
+    token; the outer derives the dependent fields. Works verbatim in Spark
+    SQL and (list_transform-compatible lambda syntax) DuckDB.
+
+    Mirrors the reference's token record (annotation-keys,
+    stanford.clj:267-270) at word granularity; `is_go` is go-word?
+    (stopword.clj:33-38).
+    """
+    d = dialect_name
+    pos = dialect.pos_case_expr("t", d)
+    lemma = dialect.lemma_case_expr("t", d)
+    ptype = dialect.pos_type_case_expr("x.tag")
+    stop_t = dialect.stopword_cond("x.t")
+    stop_lemma = dialect.stopword_cond("x.lem")
+    go = dialect.go_word_cond("x.t", "x.tag")
+    if d == "spark":
+        inner = (f"transform({words}, t -> "
+                 f"named_struct('t', t, 'tag', ({pos}), 'lem', ({lemma})))")
+        return (
+            f"transform({inner}, x -> named_struct("
+            f"'word', x.t, 'lemma', x.lem, 'pos_tag', x.tag, "
+            f"'pos_type', ({ptype}), 'is_stop', ({stop_t}), "
+            f"'is_stop_lemma', ({stop_lemma}), 'is_go', ({go})))"
+        )
+    # DuckDB: struct_pack
+    inner = (f"list_transform({words}, t -> "
+             f"struct_pack(t := t, tag := ({pos}), lem := ({lemma})))")
+    return (
+        f"list_transform({inner}, x -> struct_pack("
+        f"word := x.t, lemma := x.lem, pos_tag := x.tag, "
+        f"pos_type := ({ptype}), is_stop := ({stop_t}), "
+        f"is_stop_lemma := ({stop_lemma}), is_go := ({go})))"
+    )
+
+
+def annotated_tokens_col(words: str = "words") -> Column:
+    return F.expr(annotated_tokens_sql(words, "spark"))
+
+
+def annotate(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Add `words` (array<string>) and `toks` (annotated token structs)."""
+    return df.withColumn("words", words_col(text_col)) \
+             .withColumn("toks", annotated_tokens_col("words"))
+
+
+def go_word_forms_col(toks: str = "toks", form: str = "word") -> Column:
+    """go-word-forms (reference stopword.clj:40-50): filter go words,
+    project canonical form (default lower text; alt 'lemma')."""
+    return F.expr(f"transform(filter({toks}, x -> x.is_go), x -> x.{form})")

@@ -1,0 +1,166 @@
+"""Per-document feature vectors — the reference's feature operators in
+pure Catalyst column expressions (no Python in the hot path).
+
+Implements (SURVEY.md §2.5):
+  F1  pos_tag_features   (reference feature/lang.clj:77-111, metas :113-119)
+  F4  sentiment_features (reference feature/lang.clj:165-179)
+  F14 token_features     (doc-level stats, reference README.md:269-291)
+  F2  tree_features / hash-id features via dialect.hash32_expr
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark import schema
+from clj_nlp_parse_spark.functions import text as tx
+
+
+def _type_count(toks: str, type_name: str) -> Column:
+    return F.expr(f"size(filter({toks}, x -> x.pos_type = '{type_name}'))")
+
+
+def pos_tag_feature_cols(toks: str = "toks") -> list[Column]:
+    """Zero-filled count + ratio per coarse POS type, plus first/last tag
+    (out-of-vocab → NONE_LABEL). Ratio = count/token-count, 0 if empty —
+    exactly the reference's contract (feature/lang.clj:95-111)."""
+    cols: list[Column] = []
+    tc = F.expr(f"size({toks})")
+    for t in schema.POS_TAG_TYPES:
+        cnt = _type_count(toks, t)
+        cols.append(cnt.cast("long").alias(f"pos_tag_count_{t}"))
+        cols.append(
+            F.when(tc == 0, F.lit(0.0))
+            .otherwise(cnt.cast("double") / tc.cast("double"))
+            .alias(f"pos_tag_ratio_{t}")
+        )
+    vocab = ", ".join("'" + x.replace("'", "''") + "'" for x in schema.ALL_POS_TAGS)
+    for name, idx in (("pos_first_tag", 1), ("pos_last_tag", -1)):
+        tag = F.expr(f"try_element_at({toks}, {idx}).pos_tag")
+        cols.append(
+            F.when(tag.isNull() | ~tag.isin(*schema.ALL_POS_TAGS),
+                   F.lit(schema.NONE_LABEL)).otherwise(tag).alias(name)
+        )
+    return cols
+
+
+def token_feature_cols(text_col: str = "text", toks: str = "toks",
+                       mentions: str | None = None) -> list[Column]:
+    """Doc-level stats (F14): utterance-length, token-count,
+    token-average-length (exact ratio → double), is-question."""
+    tc = F.expr(f"size({toks})")
+    cols = [
+        F.length(F.col(text_col)).cast("long").alias("utterance_length"),
+        tc.cast("long").alias("token_count"),
+        F.when(tc == 0, F.lit(0.0)).otherwise(
+            F.expr(f"aggregate({toks}, 0L, (a, x) -> a + length(x.word))")
+            .cast("double") / tc.cast("double")
+        ).alias("token_average_length"),
+        F.expr(f"rtrim({text_col}) LIKE '%?'").alias("is_question"),
+    ]
+    if mentions is not None:
+        cols.append(F.expr(f"size({mentions})").cast("long").alias("mention_count"))
+    return cols
+
+
+def pos_tag_features(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """F1 at table granularity: one row per document with the zero-filled
+    POS-type count/ratio vector. Pure projection — no shuffle."""
+    ann = tx.annotate(df, text_col)
+    return ann.select(F.col(id_col), *pos_tag_feature_cols("toks"))
+
+
+def token_features(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    ann = tx.annotate(df, text_col)
+    return ann.select(F.col(id_col), *token_feature_cols(text_col, "toks"))
+
+
+# ------------------------------------------------------------------ sentiment
+# Engine's deterministic sentiment lexicon (the reference uses a model;
+# SURVEY.md §2.3 A11 — engine supplies a lexicon-scored equivalent with the
+# same aggregate contract: per-sentence int in [-2,2], utterance = sum).
+POSITIVE_WORDS = (
+    "good", "great", "fast", "best", "better", "new", "win", "happy",
+    "love", "like", "nice", "cool", "efficient", "correct", "clean",
+)
+NEGATIVE_WORDS = (
+    "bad", "slow", "worst", "worse", "old", "fail", "sad", "hate",
+    "wrong", "dirty", "broken", "error", "leak", "skew", "stale",
+)
+
+
+def sentence_sentiment_sql(words: str, dialect_name: str = "spark") -> str:
+    """Clamp(sum(+1/-1 lexicon hits), -2, 2) over one sentence's words —
+    dialect-common SQL."""
+    pos = ", ".join(f"'{w}'" for w in POSITIVE_WORDS)
+    neg = ", ".join(f"'{w}'" for w in NEGATIVE_WORDS)
+    if dialect_name == "spark":
+        raw = (f"aggregate({words}, 0, (a, t) -> a + "
+               f"(CASE WHEN t IN ({pos}) THEN 1 "
+               f"WHEN t IN ({neg}) THEN -1 ELSE 0 END))")
+    else:
+        raw = (f"list_sum(list_transform({words}, t -> "
+               f"CASE WHEN t IN ({pos}) THEN 1 "
+               f"WHEN t IN ({neg}) THEN -1 ELSE 0 END))")
+        raw = f"coalesce({raw}, 0)"
+    return f"greatest(-2, least(2, {raw}))"
+
+
+def sentiment_features(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """F4: utterance score (= sum over sentences, reference
+    stanford.clj:474-475) + per-sentence max/min/sum/mean/variance
+    (population variance; 0 when empty — feature/lang.clj:165-179).
+
+    Sentences are split on [.!?]+ — same regex as the oracle.
+    """
+    sent_words = (
+        f"transform(filter(split({text_col}, '[.!?]+'), s -> "
+        f"length(trim(s)) > 0), s -> "
+        f"regexp_extract_all(lower(s), '([a-z0-9'']+)', 1))"
+    )
+    score = sentence_sentiment_sql("ws", "spark")
+    scored = df.withColumn(
+        "sent_scores",
+        F.expr(f"transform({sent_words}, ws -> ({score}))"),
+    )
+    n = F.expr("size(sent_scores)")
+    s = F.expr("aggregate(sent_scores, 0L, (a, x) -> a + x)")
+    mean = F.when(n == 0, F.lit(0.0)).otherwise(s.cast("double") / n)
+    var = F.when(n == 0, F.lit(0.0)).otherwise(
+        F.expr("aggregate(sent_scores, cast(0.0 as double), (a, x) -> a + x * x)") / n
+        - (s.cast("double") / n) * (s.cast("double") / n)
+    )
+    return scored.select(
+        F.col(id_col),
+        s.cast("long").alias("sentiment_utterance"),
+        F.expr("coalesce(array_max(sent_scores), 0)").cast("long")
+            .alias("sentiment_sentence_max"),
+        F.expr("coalesce(array_min(sent_scores), 0)").cast("long")
+            .alias("sentiment_sentence_min"),
+        s.cast("long").alias("sentiment_sentence_sum"),
+        mean.alias("sentiment_sentence_mean"),
+        var.alias("sentiment_sentence_variance"),
+    )
+
+
+def tree_features(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """F2-shaped: dep_tree_id = sum over sentences of a deterministic hash
+    of the sentence's canonical token/tag sequence (the engine's replacement
+    for summed JVM .hashCode of dep trees, feature/lang.clj:123-137)."""
+    from clj_nlp_parse_spark import dialect as dlect
+    sent_words = (
+        f"transform(filter(split({text_col}, '[.!?]+'), s -> "
+        f"length(trim(s)) > 0), s -> "
+        f"regexp_extract_all(lower(s), '([a-z0-9'']+)', 1))"
+    )
+    h = dlect.hash32_expr("array_join(ws, ' ')", "spark")
+    return df.select(
+        F.col(id_col),
+        F.expr(f"aggregate(transform({sent_words}, ws -> ({h})), 0L, (a, x) -> a + x)")
+            .alias("dep_tree_id"),
+    )

@@ -1,0 +1,170 @@
+"""Registry of (Spark query, DuckDB oracle SQL) pairs for the driver gate.
+
+Every operator from SURVEY.md §2 that is SQL-expressible lands here with
+BOTH a Spark callable (spark, sf_dir) -> DataFrame and a DuckDB oracle SQL
+string over the pre-registered views (region nation customer supplier part
+orders lineitem events documents embeddings). The two sides are generated
+from the same rule tables (dialect.py) so arithmetic is bit-identical.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark import dialect, schema
+from clj_nlp_parse_spark.functions import text as tx
+from clj_nlp_parse_spark.operators import features
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------------- F1/F14
+def _duck_toks_cte() -> str:
+    toks = tx.annotated_tokens_sql("words", "duck")
+    words = dialect.tokens_expr("text", "duck")
+    return (f"WITH w AS (SELECT doc_id, text, {words} AS words FROM documents), "
+            f"tk AS (SELECT doc_id, text, words, {toks} AS toks FROM w)")
+
+
+_POS_ORACLE_COLS = []
+for _t in schema.POS_TAG_TYPES:
+    _POS_ORACLE_COLS.append(
+        f"CAST(len(list_filter(toks, x -> x.pos_type = '{_t}')) AS BIGINT)"
+        f" AS pos_tag_count_{_t}")
+    _POS_ORACLE_COLS.append(
+        f"CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter(toks, x -> x.pos_type = '{_t}')) AS DOUBLE)"
+        f" / CAST(len(toks) AS DOUBLE) END AS pos_tag_ratio_{_t}")
+_VOCAB = ", ".join("'" + x.replace("'", "''") + "'" for x in schema.ALL_POS_TAGS)
+for _nm, _ix in (("pos_first_tag", 1), ("pos_last_tag", -1)):
+    _POS_ORACLE_COLS.append(
+        f"CASE WHEN toks[{_ix}].pos_tag IS NULL OR "
+        f"NOT (toks[{_ix}].pos_tag IN ({_VOCAB})) THEN '{schema.NONE_LABEL}' "
+        f"ELSE toks[{_ix}].pos_tag END AS {_nm}")
+
+
+@register(
+    "pos_features",
+    _duck_toks_cte() + " SELECT doc_id, " + ", ".join(_POS_ORACLE_COLS)
+    + " FROM tk ORDER BY doc_id",
+)
+def q_pos_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 pos-tag-features (reference feature/lang.clj:77-111)."""
+    return features.pos_tag_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "doc_stats",
+    _duck_toks_cte() + """
+    SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS utterance_length,
+      CAST(len(toks) AS BIGINT) AS token_count,
+      CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+        CAST(coalesce(list_sum(list_transform(toks, x -> length(x.word))), 0)
+             AS DOUBLE) / CAST(len(toks) AS DOUBLE) END
+        AS token_average_length,
+      (rtrim(text) LIKE '%?') AS is_question
+    FROM tk ORDER BY doc_id""",
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 doc-level stats (reference README.md:269-291)."""
+    return features.token_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_SENT_WORDS_DUCK = (
+    "list_transform(list_filter(string_split_regex(text, '[.!?]+'), "
+    "s -> length(trim(s)) > 0), s -> "
+    "regexp_extract_all(lower(s), '[a-z0-9'']+'))"
+)
+_SC = features.sentence_sentiment_sql("ws", "duck")
+
+
+@register(
+    "sentiment_features",
+    f"""
+    WITH sw AS (SELECT doc_id, {_SENT_WORDS_DUCK} AS sws FROM documents),
+    sc AS (SELECT doc_id,
+             list_transform(sws, ws -> ({_SC})) AS ss FROM sw),
+    ag AS (SELECT doc_id, ss, len(ss) AS n,
+             CAST(coalesce(list_sum(ss), 0) AS BIGINT) AS s,
+             CAST(coalesce(list_sum(list_transform(ss, x -> CAST(x AS DOUBLE) * x)), 0.0) AS DOUBLE) AS sq
+           FROM sc)
+    SELECT doc_id,
+      s AS sentiment_utterance,
+      CAST(coalesce(list_max(ss), 0) AS BIGINT) AS sentiment_sentence_max,
+      CAST(coalesce(list_min(ss), 0) AS BIGINT) AS sentiment_sentence_min,
+      s AS sentiment_sentence_sum,
+      CASE WHEN n = 0 THEN 0.0 ELSE CAST(s AS DOUBLE) / n END
+        AS sentiment_sentence_mean,
+      CASE WHEN n = 0 THEN 0.0 ELSE sq / n -
+        (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) END
+        AS sentiment_sentence_variance
+    FROM ag ORDER BY doc_id""",
+)
+def q_sentiment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 sentiment-features (reference feature/lang.clj:165-179)."""
+    return features.sentiment_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_H_DUCK = dialect.hash32_expr("array_to_string(ws, ' ')", "duck")
+
+
+@register(
+    "tree_features",
+    f"""
+    WITH sw AS (SELECT doc_id, {_SENT_WORDS_DUCK} AS sws FROM documents)
+    SELECT doc_id,
+      CAST(coalesce(list_sum(list_transform(sws, ws -> ({_H_DUCK}))), 0)
+           AS BIGINT) AS dep_tree_id
+    FROM sw ORDER BY doc_id""",
+)
+def q_tree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 tree-features — deterministic hash-id replacement
+    (reference feature/lang.clj:123-137)."""
+    return features.tree_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "go_words",
+    _duck_toks_cte() + """
+    SELECT doc_id,
+      CAST(len(list_filter(toks, x -> x.is_go)) AS BIGINT) AS n_go_words,
+      CAST(len(list_distinct(list_transform(list_filter(toks, x -> x.is_go),
+           x -> x.word))) AS BIGINT) AS n_distinct_go
+    FROM tk ORDER BY doc_id""",
+)
+def q_go_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 go-word filtering (reference stopword.clj:16-50)."""
+    ann = tx.annotate(_docs(spark, sf_dir))
+    return ann.select(
+        "doc_id",
+        F.expr("size(filter(toks, x -> x.is_go))").cast("long")
+            .alias("n_go_words"),
+        F.expr("size(array_distinct(transform(filter(toks, x -> x.is_go), "
+               "x -> x.word)))").cast("long").alias("n_distinct_go"),
+    ).orderBy("doc_id")

@@ -1,0 +1,120 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs each registered Spark query at sf0.01 and its DuckDB oracle SQL
+side-by-side, compares row count, schema (column names), and
+order-insensitive values (sorted by all columns; doubles compared allclose
+AND exactly, so we know whether the driver's value-hash would match).
+
+Usage: python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def duck_conn():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            try:
+                df[c] = df[c].astype(str)
+            except Exception:
+                pass
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> bool:
+    ok = True
+    if len(sdf) != len(odf):
+        print(f"  ROWS MISMATCH: spark={len(sdf)} oracle={len(odf)}")
+        ok = False
+    if sorted(sdf.columns) != sorted(odf.columns):
+        print(f"  SCHEMA MISMATCH: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return False
+    s, o = norm(sdf), norm(odf)
+    if not ok:
+        return False
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
+            a = sv.astype(float).to_numpy()
+            b = ov.astype(float).to_numpy()
+            exact = np.array_equal(a, b, equal_nan=True)
+            close = np.allclose(a, b, rtol=1e-9, atol=1e-12, equal_nan=True)
+            if not exact:
+                worst = int(np.nanargmax(np.abs(a - b))) if len(a) else 0
+                print(f"  col {c}: exact={exact} allclose={close} "
+                      f"worst ix={worst} spark={a[worst]!r} oracle={b[worst]!r}")
+                ok = ok and close
+        else:
+            eq = sv.astype(str).equals(ov.astype(str))
+            if not eq:
+                bad = (sv.astype(str) != ov.astype(str))
+                i = int(np.argmax(bad.to_numpy()))
+                print(f"  col {c}: MISMATCH at sorted ix {i}: "
+                      f"spark={sv.iloc[i]!r} oracle={ov.iloc[i]!r}")
+                ok = False
+    return ok
+
+
+def main() -> None:
+    from clj_nlp_parse_spark import queries as Q
+    from clj_nlp_parse_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(parallelism=8)
+    con = duck_conn()
+    failures = []
+    for name, fn in Q.QUERIES.items():
+        if only and name not in only:
+            continue
+        sql = Q.ORACLES.get(name)
+        print(f"== {name}")
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"  SPARK ERROR: {e}")
+            failures.append(name)
+            continue
+        if sql is None:
+            print(f"  rows-only: {len(sdf)} rows")
+            if len(sdf) == 0:
+                failures.append(name)
+            continue
+        try:
+            odf = con.execute(sql).df()
+        except Exception as e:
+            print(f"  ORACLE ERROR: {e}")
+            failures.append(name)
+            continue
+        if compare(name, sdf, odf):
+            print(f"  OK ({len(sdf)} rows)")
+        else:
+            failures.append(name)
+    spark.stop()
+    print("\nFAILURES:", failures or "none")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
