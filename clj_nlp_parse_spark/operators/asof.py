@@ -1,0 +1,136 @@
+"""Point-in-time (as-of) join — the north_rule centerpiece.
+
+No reference analog (the reference is a single-document batch engine); this
+is the graft mandated by BASELINE.json: join each entity's event rows to the
+latest feature row with feature_ts <= event_ts (backward, inclusive), with
+zero temporal leakage, at 10^12-row scale.
+
+Two strategies, same semantics:
+
+1. union_window (default) — pure Catalyst: tag both sides, union, one
+   window `last(value, ignorenulls) over (partition by key order by ts,
+   is_left)` forward-carries the latest feature onto each event row.
+   One shuffle on the join key, whole-stage codegen, AQE-coalesced;
+   no Python crossing at all. Survives 100× scale because it is exactly
+   a sort-merge join's shuffle+sort with an O(1) carry instead of a
+   probe — no row explosion on hot keys.
+
+2. merge_asof — range-bucketed sort-merge via applyInPandas(pd.merge_asof)
+   per co-partitioned key group (the shape the north_rule names). Arrow
+   batches, vectorized inside pandas; used when per-group custom logic
+   (tolerance, nearest) is needed.
+
+Leakage guard: `audit_leakage` anti-checks feature_ts <= event_ts on the
+output — structurally impossible to fail for strategy 1 (the carry only
+ever looks backward), but the audit is part of the output contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str = "event_ts",
+    right_ts: str = "feature_ts",
+    value_cols: Sequence[str] | None = None,
+    strategy: str = "union_window",
+) -> DataFrame:
+    """Backward inclusive as-of join: for each left row, attach the right
+    row's values with the greatest right_ts <= left_ts within `on` keys.
+
+    Output: all left columns + matched right_ts (named after right_ts,
+    NULL when no match) + value_cols (NULL when no match).
+    """
+    on = list(on)
+    value_cols = list(value_cols) if value_cols is not None else [
+        c for c in right.columns if c not in on and c != right_ts]
+    if strategy == "union_window":
+        return _asof_union_window(left, right, on, left_ts, right_ts, value_cols)
+    if strategy == "merge_asof":
+        return _asof_merge(left, right, on, left_ts, right_ts, value_cols)
+    raise ValueError(f"unknown asof strategy: {strategy}")
+
+
+def _asof_union_window(left, right, on, left_ts, right_ts, value_cols):
+    left_cols = left.columns
+    # tag: right rows sort BEFORE left rows at equal ts → inclusive <=
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).alias(f"__l_{c}") for c in left_cols],
+    )
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+          for c in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+    )
+    u = r.unionByName(l)
+    w = (Window.partitionBy(*on).orderBy(F.col("__ts").asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.select(
+        "*",
+        F.last("__rts", ignorenulls=True).over(w).alias("__m_rts"),
+        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+          for c in value_cols],
+    )
+    out = carried.where(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        F.col("__m_rts").alias(right_ts),
+        *[F.col(f"__m_{c}").alias(c) for c in value_cols],
+    )
+    return out
+
+
+def _asof_merge(left, right, on, left_ts, right_ts, value_cols):
+    import pandas as pd
+
+    left_cols = left.columns
+    out_fields = [left.schema[c] for c in left_cols] + \
+                 [right.schema[right_ts]] + [right.schema[c] for c in value_cols]
+    from pyspark.sql import types as T
+    out_schema = T.StructType(out_fields)
+
+    l = left.select(*left_cols)
+    r = right.select(*on, right_ts, *value_cols)
+
+    def merge(lpdf, rpdf):
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        rpdf = rpdf.sort_values(right_ts, kind="mergesort")
+        if rpdf.empty:
+            m = lpdf.copy()
+            m[right_ts] = pd.NaT if str(out_schema[right_ts].dataType) == "TimestampType()" else None
+            for c in value_cols:
+                m[c] = None
+            return m[[*left_cols, right_ts, *value_cols]]
+        m = pd.merge_asof(
+            lpdf, rpdf.drop(columns=[c for c in on]),
+            left_on=left_ts, right_on=right_ts,
+            direction="backward", allow_exact_matches=True,
+        )
+        return m[[*left_cols, right_ts, *value_cols]]
+
+    # cogroup co-partitions both sides by the key — one shuffle each side,
+    # sorted merge inside Arrow batches.
+    return (l.groupBy(*on).cogroup(r.groupBy(*on))
+            .applyInPandas(merge, schema=out_schema))
+
+
+def audit_leakage(joined: DataFrame, left_ts: str = "event_ts",
+                  right_ts: str = "feature_ts") -> int:
+    """Zero-temporal-leakage invariant: count of rows whose matched feature
+    is dated after the event. Must be 0 (north_rule)."""
+    return joined.where(F.col(right_ts) > F.col(left_ts)).count()

@@ -1,0 +1,72 @@
+"""Windowed / ordered operators (SURVEY.md §2.7, graft-added per north_rule).
+
+All pure Window specs — no UDFs, no Python crossings:
+  lag/lead of features per entity
+  gap-based sessionization (cumulative-sum idiom)
+  backfill (forward-fill) of late/missing values with leakage guard
+
+Order is always (ts, tiebreak) so results are deterministic under any
+parallelism — the engine's analog of the reference's determinism contract
+(threadsafe_test.clj:6-21).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def entity_window(entity: str = "user_id", ts: str = "ts",
+                  tiebreak: str | None = "event_id") -> WindowSpec:
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    return Window.partitionBy(entity).orderBy(*order)
+
+
+def with_lag_lead(df: DataFrame, cols: dict[str, int],
+                  entity: str = "user_id", ts: str = "ts",
+                  tiebreak: str | None = "event_id") -> DataFrame:
+    """cols: {column: offset} — positive = lag, negative = lead."""
+    w = entity_window(entity, ts, tiebreak)
+    out = df
+    for c, off in cols.items():
+        if off >= 0:
+            out = out.withColumn(f"{c}_lag{off}", F.lag(c, off).over(w))
+        else:
+            out = out.withColumn(f"{c}_lead{-off}", F.lead(c, -off).over(w))
+    return out
+
+
+def sessionize(df: DataFrame, gap_seconds: int,
+               entity: str = "user_id", ts: str = "ts",
+               tiebreak: str | None = "event_id",
+               session_col: str = "session_id") -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the previous event of the same entity exceeds gap_seconds. session_id
+    is the 0-based cumulative count of gap starts per entity (cumsum idiom;
+    batch analog of streaming session_window)."""
+    w = entity_window(entity, ts, tiebreak)
+    cum = (Window.partitionBy(entity)
+           .orderBy(*([F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prev = F.lag(ts).over(w)
+    # millisecond arithmetic: exact integers, no sub-second truncation drift
+    ms = lambda c: F.unix_millis(c.cast("timestamp"))  # NTZ-safe (UTC session)
+    is_new = F.when(
+        prev.isNull() |
+        ((ms(F.col(ts)) - ms(prev)) > gap_seconds * 1000),
+        F.lit(1)).otherwise(F.lit(0))
+    return (df.withColumn("__new", is_new)
+            .withColumn(session_col, (F.sum("__new").over(cum) - 1).cast("long"))
+            .drop("__new"))
+
+
+def backfill(df: DataFrame, value_col: str,
+             entity: str = "user_id", ts: str = "ts",
+             tiebreak: str | None = "event_id",
+             out_col: str | None = None) -> DataFrame:
+    """Forward-fill the last non-null value per entity in event-time order.
+    Only ever looks backward → cannot leak future values."""
+    w = entity_window(entity, ts, tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn(out_col or f"{value_col}_filled",
+                         F.last(value_col, ignorenulls=True).over(w))

@@ -36,7 +36,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    # parquet timestamps arrive as TIMESTAMP_NTZ in Spark 4; cast to instant
+    # (session tz pinned to UTC) so unix_millis == DuckDB epoch_ms.
+    return (spark.read.parquet(f"{sf_dir}/events.parquet")
+            .withColumn("ts", F.col("ts").cast("timestamp")))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,3 +171,110 @@ def q_go_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("size(array_distinct(transform(filter(toks, x -> x.is_go), "
                "x -> x.word)))").cast("long").alias("n_distinct_go"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------- as-of join + window ops
+# Left/right sides derived deterministically from `events` (TESTDATA.md):
+# rights = every 3rd event's (user_id, ts, max(value)); lefts = the rest.
+def _asof_sides(spark: SparkSession, sf_dir: str):
+    ev = _events(spark, sf_dir)
+    lefts = ev.where(F.col("event_id") % 3 != 0).select("event_id", "user_id", "ts")
+    rights = (ev.where(F.col("event_id") % 3 == 0)
+              .groupBy("user_id", F.col("ts").alias("fts"))
+              .agg(F.max("value").alias("fval")))
+    return lefts, rights
+
+
+_ASOF_ORACLE = """
+WITH lefts AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 3 <> 0),
+rights AS (SELECT user_id, ts AS fts, max(value) AS fval
+           FROM events WHERE event_id % 3 = 0 GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS event_ts_ms,
+       epoch_ms(r.fts) AS feature_ts_ms, r.fval
+FROM lefts l ASOF LEFT JOIN rights r
+  ON l.user_id = r.user_id AND l.ts >= r.fts
+ORDER BY l.event_id"""
+
+
+def _q_asof(strategy: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from clj_nlp_parse_spark.operators import asof
+        lefts, rights = _asof_sides(spark, sf_dir)
+        j = asof.asof_join(lefts, rights, on=["user_id"], left_ts="ts",
+                           right_ts="fts", value_cols=["fval"],
+                           strategy=strategy)
+        return j.select(
+            "event_id", "user_id",
+            F.unix_millis("ts").alias("event_ts_ms"),
+            F.unix_millis("fts").alias("feature_ts_ms"),
+            "fval",
+        ).orderBy("event_id")
+    return q
+
+
+register("asof_join", _ASOF_ORACLE)(_q_asof("union_window"))
+register("asof_join_merge", _ASOF_ORACLE)(_q_asof("merge_asof"))
+
+
+@register(
+    "lag_lead",
+    """
+    SELECT event_id, user_id,
+      lag(value) OVER w AS value_lag1,
+      lead(value) OVER w AS value_lead1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id""",
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/lead per entity (SURVEY.md §2.7)."""
+    from clj_nlp_parse_spark.operators import windows
+    out = windows.with_lag_lead(_events(spark, sf_dir), {"value": 1})
+    out = windows.with_lag_lead(out, {"value": -1})
+    return out.select("event_id", "user_id", "value_lag1", "value_lead1") \
+              .orderBy("event_id")
+
+
+@register(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800 * 1000
+        THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_id, user_id,
+      CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT)
+        AS session_id
+    FROM g ORDER BY event_id""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, 30-min gap (SURVEY.md §2.7 cumsum idiom)."""
+    from clj_nlp_parse_spark.operators import windows
+    out = windows.sessionize(_events(spark, sf_dir), gap_seconds=1800)
+    return out.select("event_id", "user_id", "session_id").orderBy("event_id")
+
+
+@register(
+    "backfill",
+    """
+    SELECT event_id, user_id,
+      last_value(CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END
+                 IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        AS value_filled
+    FROM events ORDER BY event_id""",
+)
+def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill of late/missing values (SURVEY.md §2.7); nulls injected
+    deterministically on every 5th event."""
+    from clj_nlp_parse_spark.operators import windows
+    ev = _events(spark, sf_dir).withColumn(
+        "value_n",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value")))
+    out = windows.backfill(ev, "value_n", out_col="value_filled")
+    return out.select("event_id", "user_id", "value_filled").orderBy("event_id")

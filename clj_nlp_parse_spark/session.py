@@ -41,6 +41,8 @@ def get_spark(
         # Nested-schema pruning: the engine's panon struct columns benefit.
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # UTC session tz: parquet timestamps compare stably with the oracle.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )

@@ -1,0 +1,100 @@
+"""As-of join + windowed operators: semantics, leakage, determinism.
+
+The as-of operator has no reference analog (graft per BASELINE.json
+north_rule); invariants tested here are the north_rule's: backward-inclusive
+match, zero temporal leakage, identical results across strategies and
+parallelism levels.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark.operators import asof, windows
+
+
+def _t(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _sides(spark):
+    left = spark.createDataFrame(
+        [(1, "a", _t("2025-01-01T10:00:00")),
+         (2, "a", _t("2025-01-01T11:00:00")),
+         (3, "a", _t("2025-01-01T09:00:00")),   # before any feature
+         (4, "b", _t("2025-01-01T12:00:00")),
+         (5, "c", _t("2025-01-01T12:00:00"))],  # entity with no features
+        "event_id long, entity_id string, event_ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _t("2025-01-01T10:00:00"), 1.0),   # exact tie → inclusive
+         ("a", _t("2025-01-01T10:30:00"), 2.0),
+         ("a", _t("2025-01-01T23:00:00"), 9.0),   # future: never selected
+         ("b", _t("2025-01-01T01:00:00"), 7.0)],
+        "entity_id string, feature_ts timestamp, fval double")
+    return left, right
+
+
+def _expected():
+    return {
+        1: (_t("2025-01-01T10:00:00"), 1.0),  # inclusive exact match
+        2: (_t("2025-01-01T10:30:00"), 2.0),
+        3: (None, None),
+        4: (_t("2025-01-01T01:00:00"), 7.0),
+        5: (None, None),
+    }
+
+
+def test_asof_semantics_both_strategies(spark):
+    left, right = _sides(spark)
+    for strategy in ("union_window", "merge_asof"):
+        out = asof.asof_join(left, right, on=["entity_id"],
+                             strategy=strategy)
+        got = {r.event_id: (r.feature_ts, r.fval) for r in out.collect()}
+        assert got == _expected(), strategy
+        assert asof.audit_leakage(out) == 0
+
+
+def test_asof_determinism_across_parallelism(spark):
+    left, right = _sides(spark)
+    a = asof.asof_join(left.repartition(1), right.repartition(1), ["entity_id"])
+    b = asof.asof_join(left.repartition(16), right.repartition(7), ["entity_id"])
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [(1, 1, _t("2025-01-01T10:00:00")),
+         (2, 1, _t("2025-01-01T10:10:00")),   # 10 min — same session
+         (3, 1, _t("2025-01-01T11:10:00")),   # 60 min — new session
+         (4, 2, _t("2025-01-01T10:00:00"))],
+        "event_id long, user_id long, ts timestamp")
+    out = {r.event_id: r.session_id
+           for r in windows.sessionize(df, gap_seconds=1800).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 0}
+
+
+def test_backfill_forward_only(spark):
+    df = spark.createDataFrame(
+        [(1, 1, _t("2025-01-01T10:00:00"), None),
+         (2, 1, _t("2025-01-01T10:10:00"), 5.0),
+         (3, 1, _t("2025-01-01T10:20:00"), None),
+         (4, 1, _t("2025-01-01T10:30:00"), None)],
+        "event_id long, user_id long, ts timestamp, v double")
+    out = {r.event_id: r.v_filled
+           for r in windows.backfill(df, "v").collect()}
+    # row 1 precedes any value → stays null (no future leakage)
+    assert out == {1: None, 2: 5.0, 3: 5.0, 4: 5.0}
+
+
+def test_lag_lead(spark):
+    df = spark.createDataFrame(
+        [(1, 1, _t("2025-01-01T10:00:00"), 1.0),
+         (2, 1, _t("2025-01-01T10:10:00"), 2.0),
+         (3, 1, _t("2025-01-01T10:20:00"), 3.0)],
+        "event_id long, user_id long, ts timestamp, value double")
+    out = windows.with_lag_lead(df, {"value": 1})
+    out = windows.with_lag_lead(out, {"value": -1})
+    got = {r.event_id: (r.value_lag1, r.value_lead1) for r in out.collect()}
+    assert got == {1: (None, 2.0), 2: (1.0, 3.0), 3: (2.0, None)}
