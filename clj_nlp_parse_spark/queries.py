@@ -50,8 +50,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_toks_cte() -> str:
     toks = tx.annotated_tokens_sql("words", "duck")
     words = dialect.tokens_expr("text", "duck")
-    return (f"WITH w AS (SELECT doc_id, text, {words} AS words FROM documents), "
-            f"tk AS (SELECT doc_id, text, words, {toks} AS toks FROM w)")
+    return (f"WITH w AS (SELECT doc_id, text, lang, {words} AS words FROM documents), "
+            f"tk AS (SELECT doc_id, text, lang, words, {toks} AS toks FROM w)")
 
 
 _POS_ORACLE_COLS = []
@@ -278,3 +278,46 @@ def q_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value")))
     out = windows.backfill(ev, "value_n", out_col="value_filled")
     return out.select("event_id", "user_id", "value_filled").orderBy("event_id")
+
+
+# --------------------------------------------------- word-count featurizer
+# Train on documents with class label = lang, score every doc (long format).
+# Reference path F7-F12 (word_count.clj); exactness via single final division.
+_WC_ORACLE = _duck_toks_cte() + """
+, gw AS (SELECT lang AS label, unnest(toks) AS x FROM tk)
+, cnt AS (SELECT label, x.word AS word, count(*) AS c
+          FROM gw WHERE x.is_go GROUP BY 1, 2)
+, topn AS (SELECT label, word, c,
+             row_number() OVER (PARTITION BY label ORDER BY c DESC, word ASC)
+               AS rn
+           FROM cnt)
+, dist AS (SELECT label, word, c FROM topn WHERE rn <= 3)
+, tot AS (SELECT label, sum(c) AS total FROM dist GROUP BY label)
+, tokall AS (SELECT doc_id, unnest(toks) AS x FROM tk)
+, hits AS (SELECT t.doc_id, d.label, sum(d.c) AS sc
+           FROM tokall t JOIN dist d ON t.x.word = d.word GROUP BY 1, 2)
+SELECT dd.doc_id, l.label,
+       CAST(coalesce(h.sc, 0) AS DOUBLE) / t.total AS score
+FROM (SELECT DISTINCT doc_id FROM documents) dd
+CROSS JOIN (SELECT DISTINCT label FROM dist) l
+JOIN tot t ON t.label = l.label
+LEFT JOIN hits h ON h.doc_id = dd.doc_id AND h.label = l.label
+ORDER BY dd.doc_id, l.label"""
+
+
+@register("word_count_scores", _WC_ORACLE)
+def q_word_count_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7-F12: fit word-count dist per lang label, score every doc.
+    Long output (doc_id, label, score)."""
+    from clj_nlp_parse_spark.operators.word_count import WordCountFeaturizer
+    docs = _docs(spark, sf_dir)
+    fz = WordCountFeaturizer(words_by_label_count=3, label_col="lang",
+                             text_col="text")
+    model = fz.fit(docs)
+    wide = fz.transform(docs, model, id_col="doc_id")
+    labs = model.labels()
+    stack = ", ".join(f"'{lab}', word_count_{lab}" for lab in labs)
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({len(labs)}, {stack}) AS (label, score)"),
+    ).orderBy("doc_id", "label")
