@@ -172,3 +172,90 @@ def hash32_expr(s: str, dialect: str) -> str:
     if dialect == "spark":
         return f"cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint)"
     return f"(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+
+
+# ------------------------------------------------------------ Python twins
+# Exact Python equivalents of the SQL CASE expressions above, used by the
+# Arrow pandas-UDF full parser and dictionary compiler. Parity with the
+# Catalyst path is asserted by tests/test_dialect_parity.py.
+import re as _re
+
+_POS_COMPILED = None
+_SUFFIX_RE = {
+    "ies$": _re.compile(r"ies$"), "es$": _re.compile(r"es$"),
+    "ing$": _re.compile(r"ing$"), "ed$": _re.compile(r"ed$"),
+    "s$": _re.compile(r"s$"),
+}
+
+
+def lemma_py(t: str) -> str:
+    """Python twin of lemma_case_expr (ordered CASE semantics)."""
+    if t in _IRREGULAR_LEMMAS:
+        return _IRREGULAR_LEMMAS[t]
+    if t.endswith("ies") and len(t) > 4:
+        return _SUFFIX_RE["ies$"].sub("y", t)
+    if t.endswith("sses") and len(t) > 5:
+        return _SUFFIX_RE["es$"].sub("", t)
+    if t.endswith("ing") and len(t) > 5:
+        return _SUFFIX_RE["ing$"].sub("", t)
+    if t.endswith("ed") and len(t) > 4:
+        return _SUFFIX_RE["ed$"].sub("", t)
+    if (t.endswith("s") and not t.endswith("ss") and not t.endswith("us")
+            and len(t) > 3):
+        return _SUFFIX_RE["s$"].sub("", t)
+    return t
+
+
+def _build_pos_py():
+    """Compile POS_RULES into (predicate, tag) closures once."""
+    preds = []
+    for kind, arg, tag in POS_RULES:
+        if kind == "regex":
+            rx = _re.compile(arg)
+            preds.append((lambda t, rx=rx: bool(rx.search(t)), tag))
+        elif kind == "in":
+            s = frozenset(arg)
+            preds.append((lambda t, s=s: t in s, tag))
+        else:  # raw — the LIKE/length conditions used by POS_RULES
+            preds.append((_raw_cond_py(arg), tag))
+    return preds
+
+
+def _raw_cond_py(cond: str):
+    """Interpret the dialect-common raw conditions (LIKE/NOT LIKE/length/
+    AND/OR only) used in POS_RULES. Kept tiny and data-driven so the SQL
+    and Python stay in lockstep."""
+    ors = []
+    for part_or in cond.split(" OR "):
+        ands = []
+        for part in part_or.split(" AND "):
+            part = part.strip()
+            m = _re.match(r"\{t\} (NOT )?LIKE '%(.+?)'$", part)
+            if m:
+                suf = m.group(2).replace("''", "'")
+                neg = bool(m.group(1))
+                ands.append((lambda t, s=suf: t.endswith(s)) if not neg
+                            else (lambda t, s=suf: not t.endswith(s)))
+                continue
+            m = _re.match(r"length\(\{t\}\) > (\d+)$", part)
+            if m:
+                n = int(m.group(1))
+                ands.append(lambda t, n=n: len(t) > n)
+                continue
+            raise ValueError(f"unparsable raw POS condition: {part}")
+        ors.append(ands)
+    return lambda t: any(all(p(t) for p in ands) for ands in ors)
+
+
+def pos_py(t: str) -> str:
+    """Python twin of pos_case_expr."""
+    global _POS_COMPILED
+    if _POS_COMPILED is None:
+        _POS_COMPILED = _build_pos_py()
+    for pred, tag in _POS_COMPILED:
+        if pred(t):
+            return tag
+    return "NN"
+
+
+TOKEN_RE_PY = _re.compile(TOKEN_RE)

@@ -321,3 +321,101 @@ def q_word_count_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"stack({len(labs)}, {stack}) AS (label, score)"),
     ).orderBy("doc_id", "label")
+
+
+# ------------------------------------------------ dictionary / mention engine
+from clj_nlp_parse_spark.operators import dictionary as D
+
+# Fixed demo dictionary over the synthetic corpus vocabulary; exercises
+# multi-token phrases, first-det-chop ('the line' → 'line'), and the
+# lemma-match path ('dups' matched on lemma 'dup').
+DICT_ITEMS = [
+    D.DictItem(1, "table scan", "SCAN_OP"),
+    D.DictItem(2, "hash join", "JOIN_OP"),
+    D.DictItem(3, "the line", "LINE_T"),
+    D.DictItem(4, "sort merge", "MERGE_OP"),
+    D.DictItem(5, "dups", "RARE", lem_min_len=0),
+]
+_COMPILED = D.compile_items(DICT_ITEMS)
+
+
+def _dict_cte() -> str:
+    m = D.mentions_sql(_COMPILED, "words", "lemmas", "duck")
+    return (_duck_toks_cte()
+            + f", lm AS (SELECT doc_id, words, toks, "
+              f"list_transform(toks, x -> x.lemma) AS lemmas FROM tk), "
+              f"mn AS (SELECT doc_id, words, toks, {m} AS mentions FROM lm)")
+
+
+@register(
+    "dict_mentions",
+    _dict_cte() + """
+    SELECT doc_id, x.label AS label, x.item_id AS item_id,
+           CAST(x.tok_beg AS BIGINT) AS tok_beg,
+           CAST(x.tok_end AS BIGINT) AS tok_end
+    FROM (SELECT doc_id, unnest(mentions) AS x FROM mn)
+    ORDER BY doc_id, item_id, tok_beg""",
+)
+def q_dict_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 token-regex/dictionary NER span tagging
+    (reference tok_re.clj:112-191)."""
+    tagged = D.tag_mentions(_docs(spark, sf_dir), DICT_ITEMS)
+    return (tagged.select("doc_id",
+                          F.explode("tok_re_mentions").alias("x"))
+            .select("doc_id", F.col("x.label").alias("label"),
+                    F.col("x.item_id").alias("item_id"),
+                    F.col("x.tok_beg").cast("long").alias("tok_beg"),
+                    F.col("x.tok_end").cast("long").alias("tok_end"))
+            .orderBy("doc_id", "item_id", "tok_beg"))
+
+
+_MF_COLS_DUCK = []
+for _e in sorted({i.label for i in DICT_ITEMS}):
+    _le = _e.lower()
+    _MF_COLS_DUCK.append(
+        f"CAST(len(list_filter(mentions, m -> m.label = '{_e}')) AS BIGINT)"
+        f" AS mentions_count_{_le}")
+    _MF_COLS_DUCK.append(
+        f"CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter(mentions, m -> m.label = '{_e}')) AS DOUBLE)"
+        f" / CAST(len(toks) AS DOUBLE) END AS mentions_ratio_{_le}")
+
+
+@register(
+    "mention_features",
+    _dict_cte() + " SELECT doc_id, " + ", ".join(_MF_COLS_DUCK)
+    + " FROM mn ORDER BY doc_id",
+)
+def q_mention_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 mentions-features, zero-defaulted
+    (reference feature/lang.clj:193-237)."""
+    tagged = D.tag_mentions(_docs(spark, sf_dir), DICT_ITEMS)
+    ents = sorted({i.label for i in DICT_ITEMS})
+    return tagged.select(
+        "doc_id",
+        *D.mentions_feature_cols("tok_re_mentions", "toks", ents),
+    ).orderBy("doc_id")
+
+
+@register(
+    "mention_token_join",
+    _dict_cte() + """
+    SELECT doc_id, x.label AS label, x.item_id AS item_id,
+           CAST(x.pos AS BIGINT) AS pos, x.word AS word
+    FROM (SELECT doc_id,
+            unnest(flatten(list_transform(mentions, m ->
+              list_transform(
+                list_filter(range(1, len(words) + 1),
+                            i -> m.tok_beg <= i - 1 AND i - 1 < m.tok_end),
+                i -> struct_pack(label := m.label, item_id := m.item_id,
+                                 pos := i - 1, word := words[i]))))) AS x
+          FROM mn)
+    ORDER BY doc_id, item_id, pos""",
+)
+def q_mention_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O5/O7/O10 containment range join mention↔token
+    (reference parse.clj:173-240)."""
+    out = D.mention_token_join(_docs(spark, sf_dir), DICT_ITEMS)
+    return out.select("doc_id", "label", "item_id",
+                      F.col("pos").cast("long").alias("pos"), "word") \
+              .orderBy("doc_id", "item_id", "pos")
