@@ -1,0 +1,216 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference analog (graft per round brief): exact dedup, MinHash+LSH,
+SimHash, and n-gram Jaccard — each expressed as Catalyst-native dataflows
+whose arithmetic is reproducible in ANSI SQL (DuckDB oracle).
+
+Scale notes:
+  exact      — one hash-groupBy; partial aggregation, no skew (md5 keys).
+  minhash    — signatures are per-row array math (no shuffle); LSH banding
+               turns O(n²) similarity into an equi-join on (band, bandhash):
+               shuffle keyed by band hash, AQE handles bucket skew; candidate
+               verification joins only within buckets.
+  simhash    — per-row bit arithmetic; near-dup via prefix-bucketed join.
+  jaccard    — inverted-index self-join on shingle (explode + equi-join),
+               the classic doc-pair counting shape; hot shingles (stopwords)
+               are pre-filtered by document frequency to kill skew.
+
+All hashes derive from md5 (dialect.hash32_expr) — deterministic and
+identical across engines; mixing constants are fixed (seeded) literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark import dialect
+
+# Fixed odd multipliers/addends (< 2^31) for the k min-hash permutations —
+# generated once from a seeded PRNG, pinned as literals so every engine and
+# every run agrees. h31 < 2^31, a < 2^31 → a*h+b < 2^62 + 2^31: no overflow.
+MINHASH_A = [
+    1103515245, 1231577323, 747796405, 62089911, 2024337845, 1664525,
+    1566083941, 1812433253, 741103597, 1597334677, 887987685, 1294951549,
+    1181783497, 1744312007, 1609587929, 1372383749,
+]
+MINHASH_B = [
+    12345, 1013904223, 2891336453, 1284865837, 1291390831, 1013904243,
+    2531011, 293261861, 288737297, 851723965, 2654435769, 97531,
+    1865811235, 1406932606, 654435761, 789456123,
+]
+MINHASH_MOD = 2147483647  # 2^31 - 1
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # K = BANDS * ROWS
+
+
+def norm_text_sql(text: str, d: str) -> str:
+    """Normalized text for exact dedup: lowercase, collapse whitespace."""
+    return f"trim(regexp_replace(lower({text}), '\\\\s+', ' '))" if d == "spark" \
+        else f"trim(regexp_replace(lower({text}), '\\s+', ' ', 'g'))"
+
+
+def word_shingles_sql(words: str, n: int, d: str) -> str:
+    """Distinct n-gram word shingles (space-joined) from a word array."""
+    if d == "spark":
+        return (
+            f"array_distinct(CASE WHEN size({words}) >= {n} THEN "
+            f"transform(sequence(1, size({words}) - {n} + 1), "
+            f"i -> array_join(slice({words}, i, {n}), ' ')) "
+            f"ELSE array() END)")
+    return (
+        f"list_distinct(CASE WHEN len({words}) >= {n} THEN "
+        f"list_transform(range(1, len({words}) - {n} + 2), "
+        f"i -> array_to_string(list_slice({words}, i, i + {n} - 1), ' ')) "
+        f"ELSE [] END)")
+
+
+def h31_sql(s: str, d: str) -> str:
+    """Deterministic 31-bit hash of a string expression (md5-derived)."""
+    return f"({dialect.hash32_expr(s, d)} % {MINHASH_MOD})"
+
+
+def minhash_sig_sql(shingles: str, d: str) -> list[str]:
+    """K SQL expressions, one per min-hash component (NULL-safe: empty
+    shingle set → MINHASH_MOD sentinel)."""
+    out = []
+    h = h31_sql("s", d)
+    for i in range(MINHASH_K):
+        a, b = MINHASH_A[i], MINHASH_B[i]
+        if d == "spark":
+            expr = (f"coalesce(array_min(transform({shingles}, "
+                    f"s -> ({a}L * {h} + {b}L) % {MINHASH_MOD}L)), "
+                    f"{MINHASH_MOD}L)")
+        else:
+            expr = (f"coalesce(list_min(list_transform({shingles}, "
+                    f"s -> ({a}::BIGINT * {h} + {b}::BIGINT) % {MINHASH_MOD})), "
+                    f"{MINHASH_MOD}::BIGINT)")
+        out.append(expr)
+    return out
+
+
+def band_hash_sql(sig_cols: list[str], band: int, d: str) -> str:
+    """Hash one LSH band (ROWS consecutive signature components)."""
+    lo = band * LSH_ROWS
+    parts = sig_cols[lo:lo + LSH_ROWS]
+    if d == "spark":
+        joined = "concat_ws(',', " + ", ".join(
+            f"cast({p} as string)" for p in parts) + ")"
+    else:
+        joined = " || ',' || ".join(f"CAST({p} AS VARCHAR)" for p in parts)
+    return dialect.hash32_expr(joined, d)
+
+
+def simhash_sql(words: str, bits: int, d: str) -> str:
+    """SimHash over the word multiset: bit k set iff Σ_w count(w)·(±1) > 0
+    where sign is bit k of h31(w). Computed as Σ over ALL word occurrences."""
+    h = h31_sql("w", d)
+    terms = []
+    for k in range(bits):
+        if d == "spark":
+            bit = f"(CASE WHEN (({h}) div {1 << k}) % 2 = 1 THEN 1 ELSE -1 END)"
+            s = f"aggregate(transform({words}, w -> {bit}), 0, (a, x) -> a + x)"
+        else:
+            bit = f"(CASE WHEN (({h}) // {1 << k}) % 2 = 1 THEN 1 ELSE -1 END)"
+            s = f"coalesce(list_sum(list_transform({words}, w -> {bit})), 0)"
+        terms.append(f"(CASE WHEN ({s}) > 0 THEN {1 << k}::BIGINT ELSE 0::BIGINT END)"
+                     if d == "duck" else
+                     f"(CASE WHEN ({s}) > 0 THEN {1 << k}L ELSE 0L END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+# ------------------------------------------------------------ Spark operators
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5 of normalized text; keep = smallest id per group."""
+    h = F.expr(f"md5({norm_text_sql(text_col, 'spark')})")
+    out = df.select(F.col(id_col), h.alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    return (out.withColumn("group_size", F.count("*").over(w).cast("long"))
+            .withColumn("keep", F.col(id_col) == F.min(id_col).over(w)))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> DataFrame:
+    words = F.expr(dialect.tokens_expr(text_col, "spark"))
+    sh = word_shingles_sql("words", n, "spark")
+    sigs = minhash_sig_sql("shingles", "spark")
+    d = (df.withColumn("words", words)
+         .withColumn("shingles", F.expr(sh)))
+    return d.select(
+        F.col(id_col),
+        *[F.expr(s).alias(f"mh_{i}") for i, s in enumerate(sigs)])
+
+
+def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3) -> DataFrame:
+    """MinHash+LSH: docs sharing any band bucket. Returns distinct
+    (doc_a < doc_b) candidate pairs."""
+    sig = minhash_signatures(df, id_col, text_col, n)
+    sig_cols = [f"mh_{i}" for i in range(MINHASH_K)]
+    bands = []
+    for b in range(LSH_BANDS):
+        bh = band_hash_sql(sig_cols, b, "spark")
+        bands.append(sig.select(
+            F.col(id_col), F.lit(b).alias("band"),
+            F.expr(bh).alias("bh")))
+    buckets = bands[0]
+    for x in bands[1:]:
+        buckets = buckets.unionByName(x)
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    pairs = (l.join(r, (F.col("l.band") == F.col("r.band"))
+                    & (F.col("l.bh") == F.col("r.bh"))
+                    & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+             .select(F.col(f"l.{id_col}").alias("doc_a"),
+                     F.col(f"r.{id_col}").alias("doc_b"))
+             .distinct())
+    return pairs
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = 32) -> DataFrame:
+    words = F.expr(dialect.tokens_expr(text_col, "spark"))
+    return (df.withColumn("words", words)
+            .select(F.col(id_col),
+                    F.expr(simhash_sql("words", bits, "spark"))
+                    .alias("simhash")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, max_df: int | None = None) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via inverted-index self-join.
+    max_df: drop shingles appearing in more than max_df docs (skew kill)."""
+    words = F.expr(dialect.tokens_expr(text_col, "spark"))
+    sh = word_shingles_sql("words", n, "spark")
+    docs = (df.withColumn("words", words)
+            .withColumn("shingles", F.expr(sh))
+            .select(F.col(id_col), "shingles"))
+    sizes = docs.select(F.col(id_col),
+                        F.expr("size(shingles)").alias("nsh"))
+    inv = docs.select(F.col(id_col), F.explode("shingles").alias("s"))
+    if max_df is not None:
+        dfreq = inv.groupBy("s").agg(F.count("*").alias("df"))
+        inv = inv.join(F.broadcast(dfreq.where(F.col("df") <= max_df)
+                                   .select("s")), "s")
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                      F.col(f"b.{id_col}").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed(id_col, "doc_a")
+                 .withColumnRenamed("nsh", "nsh_a"), "doc_a")
+           .join(sizes.withColumnRenamed(id_col, "doc_b")
+                 .withColumnRenamed("nsh", "nsh_b"), "doc_b")
+           .withColumn("jaccard",
+                       F.col("inter").cast("double")
+                       / (F.col("nsh_a") + F.col("nsh_b") - F.col("inter"))
+                       .cast("double"))
+           .where(F.col("jaccard") >= threshold)
+           .select("doc_a", "doc_b", "inter", "jaccard"))
+    return out

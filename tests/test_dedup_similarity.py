@@ -1,0 +1,80 @@
+"""Dedup + similarity operators: semantic unit tests."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark.operators import dedup as DD
+from clj_nlp_parse_spark.operators import similarity as SIM
+from clj_nlp_parse_spark.operators import textstats as TS
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in DD.exact_dedup(df).collect()}
+    # normalization: lowercase + whitespace collapse → 1 and 2 are dups
+    assert rows[1].group_size == 2 and rows[2].group_size == 2
+    assert rows[1].keep and not rows[2].keep
+    assert rows[3].group_size == 1 and rows[3].keep
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([(1, t), (2, t), (3, "totally different words "
+                                                    "nothing shared here at all")],
+                               "doc_id long, text string")
+    sigs = {r.doc_id: [r[f"mh_{i}"] for i in range(DD.MINHASH_K)]
+            for r in DD.minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    pairs = {(r.doc_a, r.doc_b) for r in DD.lsh_candidate_pairs(df).collect()}
+    assert (1, 2) in pairs and (1, 3) not in pairs
+
+
+def test_simhash_near_docs_small_hamming(spark):
+    a = "spark query engine with hash join and table scan operators"
+    b = "spark query engine with hash join and table scan operator"  # 1 word
+    df = spark.createDataFrame([(1, a), (2, b), (3, "x y z")],
+                               "doc_id long, text string")
+    h = {r.doc_id: r.simhash for r in DD.simhash(df, bits=32).collect()}
+    ham12 = bin(h[1] ^ h[2]).count("1")
+    ham13 = bin(h[1] ^ h[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_jaccard_pairs_threshold(spark):
+    a = "one two three four five six seven eight"
+    b = "one two three four five six seven nine"   # high overlap
+    df = spark.createDataFrame([(1, a), (2, b), (3, "no shingles common")],
+                               "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in DD.ngram_jaccard_pairs(df, threshold=0.3).collect()}
+    assert (1, 2) in pairs and np.isclose(pairs[(1, 2)], 5 / 7)
+    assert not any(3 in p for p in pairs)
+
+
+def test_brute_force_topk_self_is_nearest(spark):
+    import random
+    rnd = random.Random(42)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = SIM.brute_force_topk(df, q, k=3).collect()
+    assert out[0].vec_id == 0 and np.isclose(out[0].cosine, 1.0)
+    assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_text_stats_shapes(spark):
+    df = spark.createDataFrame(
+        [(1, "The cat is on the mat and it is very happy today"),
+         (2, "zzz qqq"), (3, "")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in TS.text_stats(df).collect()}
+    assert rows[1].lang_pred == "en" and rows[2].lang_pred == "unk"
+    assert rows[1].n_ws_tokens == 12 and rows[1].n_word_tokens == 12
+    assert 0.0 <= rows[1].quality <= 1.0
+    assert rows[3].n_word_tokens == 0 and rows[3].fp_min == -1
