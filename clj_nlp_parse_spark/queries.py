@@ -561,3 +561,25 @@ _FP_DUCK = TS.fingerprint_sql("words", "duck")
 )
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ------------------------------------------- image pipeline (rows-only check)
+@register("image_feature_materialization")  # no SQL oracle: binary decode
+def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule flagship: synthesize the input_hint image+caption table
+    deterministically, extract pixel features (decode → stats → drop bytes),
+    as-of join features to entity events. Verified by pytest invariants
+    (PSNR >= 40 dB, zero leakage, determinism); rows-only here."""
+    from clj_nlp_parse_spark import synth
+    from clj_nlp_parse_spark.operators import asof, images
+    n = 500 if "0.001" in sf_dir else 2000
+    imgs = synth.synth_images(spark, n)
+    feats = images.extract_image_features(imgs)
+    events = imgs.select("entity_id", "event_ts")
+    out = asof.asof_join(
+        events, feats.select("entity_id", "feature_ts", "px_mean_r",
+                             "px_std", "sharpness"), on=["entity_id"])
+    return out.select("entity_id",
+                      F.unix_millis("event_ts").alias("event_ts_ms"),
+                      F.unix_millis("feature_ts").alias("feature_ts_ms"),
+                      "px_mean_r", "px_std", "sharpness")

@@ -1,0 +1,90 @@
+"""Image-column plumbing: per-row invariants from BASELINE.json input_hint —
+decoded-pixel fidelity (PSNR >= 40 dB for lossy), caption equality,
+determinism across parallelism, zero leakage in feature materialization."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark import synth
+from clj_nlp_parse_spark.operators import asof, images
+
+
+def test_raw_roundtrip_lossless():
+    rng = synth._rng(7)
+    arr = synth.make_image(rng, 32, 24)
+    dec = images.decode_image(synth.encode(arr, "raw"), 32, 24, "raw")
+    assert np.array_equal(arr, dec)
+
+
+def test_lossy_psnr_at_least_40db():
+    for i in range(20):
+        rng = synth._rng(i)
+        arr = synth.make_image(rng, 40, 40)
+        dec = images.decode_image(synth.encode(arr, "jpegq8"), 40, 40, "jpegq8")
+        assert images.psnr(arr, dec) >= 40.0
+
+
+def test_unavailable_codec_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        images.decode_image(b"\x89PNG...", 8, 8, "png")
+
+
+def test_synth_determinism_across_partitioning(spark):
+    a = synth.synth_images(spark, 64, partitions=1)
+    b = synth.synth_images(spark, 64, partitions=16)
+    ra = {r.image_id: r for r in a.collect()}
+    rb = {r.image_id: r for r in b.collect()}
+    assert set(ra) == set(rb)
+    for k in ra:
+        assert ra[k].caption == rb[k].caption
+        assert bytes(ra[k].bytes) == bytes(rb[k].bytes)
+        assert ra[k].phash == rb[k].phash
+
+
+def test_caption_equality_after_parquet_roundtrip(spark, tmp_path):
+    df = synth.synth_images(spark, 32)
+    p = str(tmp_path / "imgs")
+    df.write.mode("overwrite").parquet(p)
+    back = spark.read.parquet(p)
+    orig = {r.image_id: r.caption for r in df.collect()}
+    rt = {r.image_id: r.caption for r in back.collect()}
+    assert orig == rt
+
+
+def test_image_features_and_asof_materialization(spark):
+    imgs = synth.synth_images(spark, 200)
+    feats = images.extract_image_features(imgs)
+    rows = feats.collect()
+    assert len(rows) == 200
+    assert all(0 <= r.px_mean_r <= 255 for r in rows)
+    # entity query events: one per entity at a mid-range timestamp
+    events = (imgs.groupBy("entity_id")
+              .agg(F.max("event_ts").alias("event_ts"))
+              .withColumn("event_id", F.monotonically_increasing_id()))
+    out = asof.asof_join(events, feats.select("entity_id", "feature_ts",
+                                              "px_std", "sharpness"),
+                         on=["entity_id"])
+    assert asof.audit_leakage(out) == 0
+    # at max(event_ts) per entity every entity has >= 1 feature → no nulls
+    assert out.where(F.col("feature_ts").isNull()).count() == 0
+
+
+def test_feature_extraction_deterministic_vs_local():
+    # spark-free check of the numpy stats path
+    rng = synth._rng(3)
+    arr = synth.make_image(rng, 30, 20)
+    mr, mg, mb, std, sharp = images._stats_one(arr)
+    f = arr.astype(np.float64)
+    assert np.isclose(mr, f[..., 0].mean())
+    assert np.isclose(std, f.std())
+    assert sharp > 0
+
+
+def test_resize_nearest_shape():
+    rng = synth._rng(11)
+    arr = synth.make_image(rng, 33, 21)
+    out = images.resize_nearest(arr, 16, 16)
+    assert out.shape == (16, 16, 3)
