@@ -1,0 +1,189 @@
+"""Fused full-document parser → the panon nested data model (SURVEY.md §1).
+
+One Arrow pandas-UDF stage computes everything the reference's pipeline
+produces per utterance (parse.clj:132-150, stanford.clj:465-478): sentence
+split, tokens with char/token ranges (annotation-keys, stanford.clj:267-270),
+POS/lemma/stopword via the SAME rule tables as the Catalyst path
+(dialect.pos_py/lemma_py — parity tested), per-sentence sentiment with the
+utterance aggregate = sum (stanford.clj:474-475), and dictionary mentions
+with char ranges whose `text` is recovered by substring of the utterance
+over char_range (stanford.clj:428-431).
+
+This is the P7 executor-singleton shape: mapInPandas iterator form keeps the
+compiled dictionary across batches; ONE JVM↔Python crossing per partition
+(SURVEY.md §4.3.5 'fused token UDF').
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clj_nlp_parse_spark import dialect, schema
+from clj_nlp_parse_spark.operators.dictionary import CompiledItem, DictItem, compile_items
+from clj_nlp_parse_spark.operators.features import NEGATIVE_WORDS, POSITIVE_WORDS
+
+_SENT_BOUND = re.compile(r"[.!?]+")
+_POS_SET = frozenset(POSITIVE_WORDS)
+_NEG_SET = frozenset(NEGATIVE_WORDS)
+_STOP = frozenset(schema.STOPWORDS)
+
+
+def parse_document(text: str, compiled: list[CompiledItem] | None = None) -> dict:
+    """Pure-Python single-document parse → panon dict (PANON_STRUCT shape)."""
+    # sentence spans over the raw text
+    spans = []
+    start = 0
+    for m in _SENT_BOUND.finditer(text):
+        seg = text[start:m.end()]
+        if seg.strip():
+            spans.append((start, m.end()))
+        start = m.end()
+    if text[start:].strip():
+        spans.append((start, len(text)))
+    low = text.lower()
+    sents = []
+    all_tokens = []  # flattened with utterance token index
+    utt_tok = 0
+    total_sentiment = 0
+    for si, (b, e) in enumerate(spans):
+        toks = []
+        score = 0
+        for ti, m in enumerate(dialect.TOKEN_RE_PY.finditer(low, b, e)):
+            w = m.group(0)
+            lem = dialect.lemma_py(w)
+            tag = dialect.pos_py(w)
+            tok = {
+                "text": text[m.start():m.end()],
+                "lemma": lem,
+                "pos_tag": tag,
+                "sent_index": si,
+                "token_index": ti + 1,
+                "char_beg": m.start(), "char_end": m.end(),
+                "tok_beg": utt_tok, "tok_end": utt_tok + 1,
+                "is_stop": w in _STOP,
+                "is_stop_lemma": lem in _STOP,
+            }
+            toks.append(tok)
+            all_tokens.append((w, lem, tok))
+            utt_tok += 1
+            if w in _POS_SET:
+                score += 1
+            elif w in _NEG_SET:
+                score -= 1
+        score = max(-2, min(2, score))
+        total_sentiment += score
+        sents.append({"text": text[b:e], "sent_index": si,
+                      "sentiment": score, "tokens": toks})
+    mentions = []
+    if compiled:
+        words = [w for w, _, _ in all_tokens]
+        lemmas = [l for _, l, _ in all_tokens]
+        for ci in compiled:
+            k = len(ci.pattern)
+            for i in range(len(words) - k + 1):
+                ok = True
+                for off, (fld, pw) in enumerate(ci.pattern):
+                    v = words[i + off] if fld == "word" else lemmas[i + off]
+                    if v != pw:
+                        ok = False
+                        break
+                if ok:
+                    t0 = all_tokens[i][2]
+                    t1 = all_tokens[i + k - 1][2]
+                    mentions.append({
+                        # text recovered by substring over char range
+                        # (stanford.clj:428-431)
+                        "text": text[t0["char_beg"]:t1["char_end"]],
+                        "entity_type": ci.label,
+                        "ner_tag": ci.label,
+                        "item_id": ci.item_id,
+                        "features": ci.features,
+                        "sent_index": t0["sent_index"],
+                        "char_beg": t0["char_beg"],
+                        "char_end": t1["char_end"],
+                        "tok_beg": i, "tok_end": i + k,
+                    })
+    return {"text": text, "sentiment": total_sentiment, "sents": sents,
+            "mentions": [], "tok_re_mentions": mentions}
+
+
+def parse_captions(df: DataFrame, items: list[DictItem] | None = None,
+                   text_col: str = "caption",
+                   id_col: str = "image_id") -> DataFrame:
+    """mapInPandas fused parse: (id, text) → (id, panon struct)."""
+    import pandas as pd
+
+    compiled = compile_items(items) if items else []
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("panon", schema.PANON_STRUCT),
+    ])
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "panon": [parse_document(t if t is not None else "", compiled)
+                          for t in pdf[text_col]],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------- panon query operators (O1-O11)
+def tokens_col(panon: str = "panon"):
+    """O1 `tokens` — flatten tokens across sentences (parse.clj:152-155)."""
+    return F.expr(f"flatten(transform({panon}.sents, s -> s.tokens))")
+
+
+def token_at(panon: str, i: int):
+    """O2 positional token access (parse.clj:157-165)."""
+    return F.expr(
+        f"try_element_at(flatten(transform({panon}.sents, s -> s.tokens)), "
+        f"{i + 1})")
+
+
+def mentions_union(panon: str = "panon"):
+    """O6 union of mention sources (parse.clj:194-205)."""
+    return F.expr(f"concat({panon}.mentions, {panon}.tok_re_mentions)")
+
+
+def mentions_for_token(panon: str, tok_pos: int):
+    """O7 mentions whose token-range contains the position
+    (parse.clj:207-211)."""
+    return F.expr(
+        f"filter(concat({panon}.mentions, {panon}.tok_re_mentions), "
+        f"m -> m.tok_beg <= {tok_pos} AND {tok_pos} < m.tok_end)")
+
+
+def tokens_for_mention(panon: str, mention: str):
+    """O9 tokens of the mention's sentence filtered by containment, with the
+    sent-index guard (parse.clj:221-228)."""
+    return F.expr(
+        f"CASE WHEN {mention}.sent_index < size({panon}.sents) THEN "
+        f"filter(try_element_at({panon}.sents, {mention}.sent_index + 1).tokens, "
+        f"t -> {mention}.tok_beg <= t.tok_beg AND t.tok_end <= {mention}.tok_end) "
+        f"ELSE array() END")
+
+
+def token_mentions(panon: str = "panon"):
+    """O10 enrich mentions with their tokens (parse.clj:230-240)."""
+    toks = f"flatten(transform({panon}.sents, s -> s.tokens))"
+    return F.expr(
+        f"transform(concat({panon}.mentions, {panon}.tok_re_mentions), "
+        f"m -> named_struct('mention', m, 'tokens', "
+        f"filter({toks}, t -> m.tok_beg <= t.tok_beg AND "
+        f"t.tok_end <= m.tok_end)))")
+
+
+def sentiment_label(score):
+    """O11 score→label CASE mapping (parse.clj:242-252)."""
+    return (F.when(score >= 2, "very positive")
+            .when(score == 1, "positive")
+            .when(score == 0, "neutral")
+            .when(score == -1, "negative")
+            .otherwise("very negative"))

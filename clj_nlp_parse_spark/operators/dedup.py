@@ -102,21 +102,29 @@ def band_hash_sql(sig_cols: list[str], band: int, d: str) -> str:
     return dialect.hash32_expr(joined, d)
 
 
-def simhash_sql(words: str, bits: int, d: str) -> str:
-    """SimHash over the word multiset: bit k set iff Σ_w count(w)·(±1) > 0
-    where sign is bit k of h31(w). Computed as Σ over ALL word occurrences."""
+def word_hashes_sql(words: str, d: str) -> str:
+    """h31 of every word occurrence — computed ONCE, reused by all simhash
+    bit planes (md5 is the expensive part)."""
     h = h31_sql("w", d)
+    if d == "spark":
+        return f"transform({words}, w -> {h})"
+    return f"list_transform({words}, w -> {h})"
+
+
+def simhash_sql(hs: str, bits: int, d: str) -> str:
+    """SimHash over precomputed word hashes `hs`: bit k set iff
+    Σ_occurrences (±1) > 0 where sign is bit k of the word's h31."""
     terms = []
     for k in range(bits):
         if d == "spark":
-            bit = f"(CASE WHEN (({h}) div {1 << k}) % 2 = 1 THEN 1 ELSE -1 END)"
-            s = f"aggregate(transform({words}, w -> {bit}), 0, (a, x) -> a + x)"
+            bit = f"(CASE WHEN ((x) div {1 << k}) % 2 = 1 THEN 1 ELSE -1 END)"
+            s = f"aggregate({hs}, 0, (a, x) -> a + {bit})"
+            terms.append(f"(CASE WHEN ({s}) > 0 THEN {1 << k}L ELSE 0L END)")
         else:
-            bit = f"(CASE WHEN (({h}) // {1 << k}) % 2 = 1 THEN 1 ELSE -1 END)"
-            s = f"coalesce(list_sum(list_transform({words}, w -> {bit})), 0)"
-        terms.append(f"(CASE WHEN ({s}) > 0 THEN {1 << k}::BIGINT ELSE 0::BIGINT END)"
-                     if d == "duck" else
-                     f"(CASE WHEN ({s}) > 0 THEN {1 << k}L ELSE 0L END)")
+            bit = f"(CASE WHEN ((x) // {1 << k}) % 2 = 1 THEN 1 ELSE -1 END)"
+            s = f"coalesce(list_sum(list_transform({hs}, x -> {bit})), 0)"
+            terms.append(
+                f"(CASE WHEN ({s}) > 0 THEN {1 << k}::BIGINT ELSE 0::BIGINT END)")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -173,8 +181,9 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
     words = F.expr(dialect.tokens_expr(text_col, "spark"))
     return (df.withColumn("words", words)
+            .withColumn("hs", F.expr(word_hashes_sql("words", "spark")))
             .select(F.col(id_col),
-                    F.expr(simhash_sql("words", bits, "spark"))
+                    F.expr(simhash_sql("hs", bits, "spark"))
                     .alias("simhash")))
 
 

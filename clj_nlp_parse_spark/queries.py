@@ -481,8 +481,10 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "simhash",
     _WD_CTE + f"""
-    SELECT doc_id, {DD.simhash_sql('words', 32, 'duck')} AS simhash
-    FROM wd ORDER BY doc_id""",
+    , hh AS (SELECT doc_id, {DD.word_hashes_sql('words', 'duck')} AS hs
+             FROM wd)
+    SELECT doc_id, {DD.simhash_sql('hs', 32, 'duck')} AS simhash
+    FROM hh ORDER BY doc_id""",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(_docs(spark, sf_dir), bits=32).orderBy("doc_id")
