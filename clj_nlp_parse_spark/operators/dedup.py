@@ -71,20 +71,28 @@ def h31_sql(s: str, d: str) -> str:
     return f"({dialect.hash32_expr(s, d)} % {MINHASH_MOD})"
 
 
-def minhash_sig_sql(shingles: str, d: str) -> list[str]:
-    """K SQL expressions, one per min-hash component (NULL-safe: empty
-    shingle set → MINHASH_MOD sentinel)."""
-    out = []
+def shingle_hashes_sql(shingles: str, d: str) -> str:
+    """h31 of every shingle — computed ONCE, reused by all K permutations
+    (md5 is the expensive part; K=16 permutations are cheap arithmetic)."""
     h = h31_sql("s", d)
+    if d == "spark":
+        return f"transform({shingles}, s -> {h})"
+    return f"list_transform({shingles}, s -> {h})"
+
+
+def minhash_sig_sql(hs: str, d: str) -> list[str]:
+    """K SQL expressions over precomputed shingle hashes `hs` (NULL-safe:
+    empty shingle set → MINHASH_MOD sentinel)."""
+    out = []
     for i in range(MINHASH_K):
         a, b = MINHASH_A[i], MINHASH_B[i]
         if d == "spark":
-            expr = (f"coalesce(array_min(transform({shingles}, "
-                    f"s -> ({a}L * {h} + {b}L) % {MINHASH_MOD}L)), "
+            expr = (f"coalesce(array_min(transform({hs}, "
+                    f"h -> ({a}L * h + {b}L) % {MINHASH_MOD}L)), "
                     f"{MINHASH_MOD}L)")
         else:
-            expr = (f"coalesce(list_min(list_transform({shingles}, "
-                    f"s -> ({a}::BIGINT * {h} + {b}::BIGINT) % {MINHASH_MOD})), "
+            expr = (f"coalesce(list_min(list_transform({hs}, "
+                    f"h -> ({a}::BIGINT * h + {b}::BIGINT) % {MINHASH_MOD})), "
                     f"{MINHASH_MOD}::BIGINT)")
         out.append(expr)
     return out
@@ -143,12 +151,19 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3) -> DataFrame:
     words = F.expr(dialect.tokens_expr(text_col, "spark"))
     sh = word_shingles_sql("words", n, "spark")
-    sigs = minhash_sig_sql("shingles", "spark")
+    # let-binding: hs evaluated once per row; the 16 permutations read the
+    # bound variable instead of re-hashing (see tag_mentions PERF note)
+    sigs = minhash_sig_sql("z.hs", "spark")
+    struct_fields = ", ".join(f"'mh_{i}', ({s})" for i, s in enumerate(sigs))
+    let_expr = (f"try_element_at(transform(array(named_struct('hs', "
+                f"{shingle_hashes_sql('shingles', 'spark')})), "
+                f"z -> named_struct({struct_fields})), 1)")
     d = (df.withColumn("words", words)
-         .withColumn("shingles", F.expr(sh)))
+         .withColumn("shingles", F.expr(sh))
+         .withColumn("__sig", F.expr(let_expr)))
     return d.select(
         F.col(id_col),
-        *[F.expr(s).alias(f"mh_{i}") for i, s in enumerate(sigs)])
+        *[F.col(f"__sig.mh_{i}").alias(f"mh_{i}") for i in range(MINHASH_K)])
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -157,15 +172,16 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     (doc_a < doc_b) candidate pairs."""
     sig = minhash_signatures(df, id_col, text_col, n)
     sig_cols = [f"mh_{i}" for i in range(MINHASH_K)]
-    bands = []
-    for b in range(LSH_BANDS):
-        bh = band_hash_sql(sig_cols, b, "spark")
-        bands.append(sig.select(
-            F.col(id_col), F.lit(b).alias("band"),
-            F.expr(bh).alias("bh")))
-    buckets = bands[0]
-    for x in bands[1:]:
-        buckets = buckets.unionByName(x)
+    # one projection + posexplode: signatures computed once per row (a
+    # 4-way union would recompute them per band)
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bh', "
+        f"{band_hash_sql(sig_cols, b, 'spark')})"
+        for b in range(LSH_BANDS))
+    buckets = sig.select(
+        F.col(id_col),
+        F.explode(F.expr(f"array({band_structs})")).alias("x"),
+    ).select(id_col, F.col("x.band").alias("band"), F.col("x.bh").alias("bh"))
     l = buckets.alias("l")
     r = buckets.alias("r")
     pairs = (l.join(r, (F.col("l.band") == F.col("r.band"))

@@ -128,13 +128,27 @@ def mentions_sql(compiled: list[CompiledItem], words: str, lemmas: str,
 def tag_mentions(df: DataFrame, items: list[DictItem],
                  text_col: str = "text") -> DataFrame:
     """Annotate + add `tok_re_mentions` (Catalyst path; tok ranges only —
-    char ranges live in the full parser)."""
+    char ranges live in the full parser).
+
+    PERF: free variables inside Spark higher-order-function lambdas are
+    re-evaluated on every lambda invocation, so referencing the words/lemmas
+    EXPRESSIONS inside per-position probes re-runs tokenization per token —
+    O(n²) blowup (observed 280 s at sf0.1). The let-binding idiom below
+    evaluates them ONCE per row: wrap both arrays in a single-element struct
+    array and run the matcher inside that lambda scope, where z.ws / z.ls
+    are bound variables (cheap reads)."""
     compiled = compile_items(items)
     ann = tx.annotate(df, text_col)
-    ann = ann.withColumn("lemmas", F.expr("transform(toks, x -> x.lemma)"))
-    return ann.withColumn(
-        "tok_re_mentions",
-        F.expr(mentions_sql(compiled, "words", "lemmas", "spark")))
+    # lemmas from words directly (NOT from toks): lets Catalyst prune the
+    # heavy toks struct out of plans that only need mentions
+    lemma_case = dialect.lemma_case_expr("t", "spark")
+    ann = ann.withColumn(
+        "lemmas", F.expr(f"transform(words, t -> ({lemma_case}))"))
+    body = mentions_sql(compiled, "z.ws", "z.ls", "spark")
+    let_expr = (f"try_element_at(transform("
+                f"array(named_struct('ws', words, 'ls', lemmas)), "
+                f"z -> {body}), 1)")
+    return ann.withColumn("tok_re_mentions", F.expr(let_expr))
 
 
 def mentions_feature_cols(mentions: str, toks: str,

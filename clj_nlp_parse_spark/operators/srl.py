@@ -1,0 +1,98 @@
+"""SRL candidate selection + verb/srl features (SURVEY.md §2.4 O13-O15,
+§2.5 F3/F6).
+
+The reference's SRL *model* (ClearNLP) is out of scope; its selection logic
+is in scope and reproduced exactly:
+
+  O13 rank candidate parses per sentence by score desc
+      (sentence-sort-by-score, srl.clj:110-113)
+  O14 best-candidate: top-1 by score, EXCEPT for short sentences
+      (token count <= first-label-token-threshold = 3, srl.clj:22-25) where
+      the first candidate HAVING a propbank label wins if any
+      (short-sentence-best, srl.clj:126-132; first-with-label :115-124)
+  O15 first non-null propbank label across ordered tokens/sentences
+      (first-sent-propbank-label, feature/lang.clj:15-31)
+  F3  srl-features: propbank hash-id sum (0 for nil) + argument counts
+      (feature/lang.clj:142-160)
+  F6  verb-features: elected verb = first token if VB-type, else dep-root
+      if VB-type, else none-label; id = deterministic hash
+      (feature/lang.clj:33-59; the dead WordNet branch is not grafted)
+
+The engine's deterministic dependency-root (no parser model): the first
+verb-type token of the sentence, else the first token — consistent with the
+tagger's rule tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark import dialect, schema
+
+FIRST_LABEL_TOKEN_THRESHOLD = 3  # srl.clj:22-25
+
+
+def select_best_candidates(cands: DataFrame,
+                           sent_col: str = "sent_id",
+                           score_col: str = "score",
+                           has_label_col: str = "has_label",
+                           tok_count_col: str = "tok_count",
+                           order_col: str = "cand_id") -> DataFrame:
+    """O13+O14 in one window: rank key is
+      short sentence (tok_count <= 3):
+          any labeled candidate exists → (has_label desc, cand order asc)
+          [first-with-label returns the FIRST in candidate order, not the
+           highest-scored — srl.clj:115-124]
+      else: (score desc, cand order asc).
+    """
+    short = F.col(tok_count_col) <= FIRST_LABEL_TOKEN_THRESHOLD
+    any_label = F.max(F.col(has_label_col).cast("int")).over(
+        Window.partitionBy(sent_col)) == 1
+    use_label_rule = short & any_label
+    key1 = (F.when(use_label_rule, -F.col(has_label_col).cast("double"))
+            .otherwise(-F.col(score_col).cast("double")))
+    w = Window.partitionBy(sent_col).orderBy(key1.asc(), F.col(order_col).asc())
+    return (cands.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def first_propbank_label(df: DataFrame, id_col: str,
+                         labels_col: str) -> DataFrame:
+    """O15: first non-null element of an ordered array of (nullable)
+    propbank labels."""
+    return df.select(
+        F.col(id_col),
+        F.expr(f"try_element_at(filter({labels_col}, x -> x IS NOT NULL), 1)")
+        .alias("first_propbank"))
+
+
+def srl_feature_cols(propbanks: str, arg_labels: str) -> list[Column]:
+    """F3 over per-token arrays: propbanks (nullable strings) and first-head
+    dependency labels (nullable strings)."""
+    h = dialect.hash32_expr("x", "spark")
+    return [
+        F.expr(f"aggregate(transform({propbanks}, x -> "
+               f"CASE WHEN x IS NULL THEN 0L ELSE ({h}) END), "
+               f"0L, (a, v) -> a + v)").alias("srl_propbank_id"),
+        F.expr(f"size(filter({arg_labels}, x -> x IS NOT NULL))")
+        .cast("long").alias("srl_argument_counts"),
+    ]
+
+
+def verb_features(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    from clj_nlp_parse_spark.functions import text as tx
+    ann = tx.annotate(df, text_col)
+    first_is_verb = F.expr("try_element_at(toks, 1).pos_type = 'verb'")
+    root = F.expr(
+        "coalesce(try_element_at(filter(toks, x -> x.pos_type = 'verb'), 1), "
+        "try_element_at(toks, 1))")
+    elected = (
+        F.when(first_is_verb, F.expr("try_element_at(toks, 1).word"))
+        .when(root.isNotNull() & (root["pos_type"] == "verb"), root["word"])
+        .otherwise(F.lit(schema.NONE_LABEL)))
+    h = dialect.hash32_expr("elected_verb", "spark")
+    return (ann.withColumn("elected_verb", elected)
+            .select(F.col(id_col), "elected_verb",
+                    F.expr(h).alias("elected_verb_id")))

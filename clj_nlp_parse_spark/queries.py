@@ -444,12 +444,14 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
-_MH_DUCK = DD.minhash_sig_sql("shingles", "duck")
+_MH_DUCK = DD.minhash_sig_sql("hs", "duck")
 _MH_SIG_CTE = (_WD_CTE + f", sh AS (SELECT doc_id, "
                f"{DD.word_shingles_sql('words', 3, 'duck')} AS shingles "
-               f"FROM wd), sig AS (SELECT doc_id, "
+               f"FROM wd), hh AS (SELECT doc_id, "
+               f"{DD.shingle_hashes_sql('shingles', 'duck')} AS hs FROM sh), "
+               "sig AS (SELECT doc_id, "
                + ", ".join(f"{s} AS mh_{i}" for i, s in enumerate(_MH_DUCK))
-               + " FROM sh)")
+               + " FROM hh)")
 
 
 @register(
@@ -585,3 +587,59 @@ def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFra
                       F.unix_millis("event_ts").alias("event_ts_ms"),
                       F.unix_millis("feature_ts").alias("feature_ts_ms"),
                       "px_mean_r", "px_std", "sharpness")
+
+
+# -------------------------------------------------- SRL selection + verb id
+@register(
+    "srl_best_candidates",
+    """
+    WITH c AS (SELECT user_id AS sent_id, event_id AS cand_id,
+                      value AS score, (event_id % 2 = 0) AS has_label,
+                      CAST(user_id % 6 + 1 AS INTEGER) AS tok_count
+               FROM events),
+    a AS (SELECT *, max(CASE WHEN has_label THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY sent_id) = 1 AS any_label FROM c),
+    r AS (SELECT *, row_number() OVER (PARTITION BY sent_id ORDER BY
+            CASE WHEN tok_count <= 3 AND any_label
+                 THEN -CAST(CAST(has_label AS INTEGER) AS DOUBLE)
+                 ELSE -score END ASC, cand_id ASC) AS rn
+          FROM a)
+    SELECT sent_id, cand_id, score, has_label, tok_count
+    FROM r WHERE rn = 1 ORDER BY sent_id""",
+)
+def q_srl_best_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13/O14 SRL candidate ranking + short-sentence label preference
+    (reference srl.clj:110-132); candidates synthesized from events."""
+    from clj_nlp_parse_spark.operators import srl
+    ev = _events(spark, sf_dir)
+    cands = ev.select(
+        F.col("user_id").alias("sent_id"),
+        F.col("event_id").alias("cand_id"),
+        F.col("value").alias("score"),
+        (F.col("event_id") % 2 == 0).alias("has_label"),
+        (F.col("user_id") % 6 + 1).cast("int").alias("tok_count"))
+    return srl.select_best_candidates(cands).orderBy("sent_id")
+
+
+_VERB_DUCK = dialect.hash32_expr("elected_verb", "duck")
+
+
+@register(
+    "verb_features",
+    _duck_toks_cte() + f"""
+    , rt AS (SELECT doc_id, toks,
+        coalesce(list_filter(toks, x -> x.pos_type = 'verb')[1], toks[1])
+          AS root FROM tk)
+    , ev AS (SELECT doc_id,
+        CASE WHEN toks[1].pos_type = 'verb' THEN toks[1].word
+             WHEN root.pos_type = 'verb' THEN root.word
+             ELSE '{schema.NONE_LABEL}' END AS elected_verb
+      FROM rt)
+    SELECT doc_id, elected_verb, {_VERB_DUCK} AS elected_verb_id
+    FROM ev ORDER BY doc_id""",
+)
+def q_verb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 verb-features with deterministic dep-root
+    (reference feature/lang.clj:33-59)."""
+    from clj_nlp_parse_spark.operators import srl
+    return srl.verb_features(_docs(spark, sf_dir)).orderBy("doc_id")
