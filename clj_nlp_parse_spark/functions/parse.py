@@ -113,8 +113,19 @@ def parse_document(text: str, compiled: list[CompiledItem] | None = None) -> dic
 
 def parse_captions(df: DataFrame, items: list[DictItem] | None = None,
                    text_col: str = "caption",
-                   id_col: str = "image_id") -> DataFrame:
-    """mapInPandas fused parse: (id, text) → (id, panon struct)."""
+                   id_col: str = "image_id",
+                   timeout_s: float | None = None,
+                   on_timeout: str = "raise") -> DataFrame:
+    """mapInPandas fused parse: (id, text) → (id, panon struct).
+
+    timeout_s: per-document wall-clock budget — the engine's P6 analog of
+    the reference's with-timeout parse wrapper (parse.clj:143-150). On
+    breach: on_timeout='raise' fails the task with TimeoutError naming the
+    document (reference semantics: TimeoutException); 'null' emits a null
+    panon and keeps the batch going (the scale-friendly mode).
+    """
+    import time
+
     import pandas as pd
 
     compiled = compile_items(items) if items else []
@@ -123,12 +134,25 @@ def parse_captions(df: DataFrame, items: list[DictItem] | None = None,
         T.StructField("panon", schema.PANON_STRUCT),
     ])
 
+    def parse_one(doc_id, text):
+        if timeout_s is None:
+            return parse_document(text, compiled)
+        t0 = time.perf_counter()
+        out = parse_document(text, compiled)
+        if time.perf_counter() - t0 > timeout_s:
+            if on_timeout == "raise":
+                raise TimeoutError(
+                    f"parse of document {doc_id!r} exceeded {timeout_s}s")
+            return None
+        return out
+
     def run(batches):
         for pdf in batches:
             yield pd.DataFrame({
                 id_col: pdf[id_col],
-                "panon": [parse_document(t if t is not None else "", compiled)
-                          for t in pdf[text_col]],
+                "panon": [
+                    parse_one(i, t if t is not None else "")
+                    for i, t in zip(pdf[id_col], pdf[text_col])],
             })
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)

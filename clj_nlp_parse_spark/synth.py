@@ -103,10 +103,10 @@ def avg_phash(arr: np.ndarray) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def synth_row(i: int) -> dict:
+def synth_row(i: int, min_px: int = 24, max_px: int = 48) -> dict:
     rng = _rng(i)
-    w = int(rng.integers(24, 49))
-    h = int(rng.integers(24, 49))
+    w = int(rng.integers(min_px, max_px + 1))
+    h = int(rng.integers(min_px, max_px + 1))
     arr = make_image(rng, w, h)
     fmt = "raw" if rng.random() < 0.5 else "jpegq8"
     # Zipf-hot entities → skewed phash buckets + skewed entity keys
@@ -124,13 +124,14 @@ def synth_row(i: int) -> dict:
 
 
 def synth_images(spark: SparkSession, n: int,
-                 partitions: int | None = None) -> DataFrame:
+                 partitions: int | None = None,
+                 min_px: int = 24, max_px: int = 48) -> DataFrame:
     """Distributed deterministic generation: one row per id in [0, n)."""
     import pandas as pd
 
     def gen(batches):
         for pdf in batches:
-            rows = [synth_row(int(i)) for i in pdf["id"]]
+            rows = [synth_row(int(i), min_px, max_px) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     base = spark.range(n, numPartitions=partitions or max(8, n // 2000))

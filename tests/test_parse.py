@@ -107,3 +107,18 @@ def test_parser_matches_catalyst_tokens(spark, sf_dir):
     pmap = {r.image_id: r.a for r in py_side}
     cmap = {r.image_id: r.a for r in cat_side}
     assert pmap == cmap
+
+
+def test_parse_timeout_raise_and_null(spark):
+    # P6 timeout contract (parse.clj:143-150, timeout_test.clj:8-17):
+    # an absurdly small budget must trip on a large doc.
+    big = "word " * 20000
+    df = spark.createDataFrame([("d1", big)],
+                               "image_id string, caption string")
+    import pytest as _pt
+    with _pt.raises(Exception, match="exceeded"):
+        P.parse_captions(df, timeout_s=1e-9).collect()
+    out = P.parse_captions(df, timeout_s=1e-9, on_timeout="null").collect()
+    assert out[0].panon is None
+    ok = P.parse_captions(df, timeout_s=60.0).collect()
+    assert ok[0].panon is not None

@@ -1,0 +1,87 @@
+"""Scaling-efficiency evidence for the north_rule (N → 4N cores).
+
+Runs the flagship image+caption as-of feature materialization (plus a
+caption-feature pass) at two parallelism levels on IDENTICAL input and
+reports throughput at both + scaling efficiency = (T_N / T_4N) / 4.
+
+Each level runs in a fresh subprocess (a JVM cannot change local[] core
+count in-process). Usage: python tools/bench_scaling.py [n_images]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+WORKER = r"""
+import json, sys, time, statistics
+sys.path.insert(0, "/root/repo")
+cpus = int(sys.argv[1]); n = int(sys.argv[2])
+from clj_nlp_parse_spark.session import get_spark
+from clj_nlp_parse_spark import synth
+from clj_nlp_parse_spark.operators import asof, images
+from clj_nlp_parse_spark.functions import text as tx
+from pyspark.sql import functions as F
+
+spark = get_spark(app_name=f"scale-{cpus}", parallelism=cpus,
+                  shuffle_partitions=cpus)
+# fixed partitioning of the INPUT so both levels read identical splits
+px = int(sys.argv[3])
+imgs = synth.synth_images(spark, n, partitions=128,
+                          min_px=px, max_px=px).persist()
+n_in = imgs.count()   # materialize input outside the timed region
+
+def job():
+    feats = images.extract_image_features(imgs)
+    events = imgs.select("entity_id", "event_ts")
+    out = asof.asof_join(
+        events, feats.select("entity_id", "feature_ts", "px_mean_r",
+                             "px_mean_g", "px_mean_b", "px_std", "sharpness"),
+        on=["entity_id"])
+    from clj_nlp_parse_spark.functions import parse as PP
+    pan = PP.parse_captions(imgs)
+    pan.write.format("noop").mode("overwrite").save()
+    return out.count()
+
+n_out = job()  # warm-up: JIT, Python workers, Arrow buffers — untimed
+times = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    n_out = job()
+    times.append(time.perf_counter() - t0)
+dt = statistics.median(times)
+print(json.dumps({"cpus": cpus, "n_images": n_in, "rows_out": n_out,
+                  "sec": round(dt, 3), "all_sec": [round(x, 3) for x in times],
+                  "rows_per_sec": round(n_out / dt, 1)}))
+spark.stop()
+"""
+
+
+def run(cpus: int, n: int, px: int = 96) -> dict:
+    r = subprocess.run([sys.executable, "-c", WORKER, str(cpus), str(n),
+                        str(px)],
+                       capture_output=True, text=True, timeout=1800)
+    line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    # N=4 vs 4N=16: both legs fit (JVM task threads + Python workers <= 32
+    # host CPUs), mirroring a real cluster where each added executor brings
+    # its own cores. local[32] would oversubscribe the host during Python
+    # stages (32 tasks + 32 workers = 64 runnable on 32 CPUs) and measure
+    # contention, not the engine.
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    lo = run(4, n)
+    hi = run(16, n)
+    eff = (lo["sec"] / hi["sec"]) / 4.0
+    print(json.dumps({
+        "N_cores": lo, "4N_cores": hi,
+        "scaling_efficiency": round(eff, 3),
+        "pass_ge_0.8": eff >= 0.8,
+    }, indent=1))
+
+
+if __name__ == "__main__":
+    main()
