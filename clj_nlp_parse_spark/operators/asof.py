@@ -55,6 +55,9 @@ def asof_join(
         return _asof_union_window(left, right, on, left_ts, right_ts, value_cols)
     if strategy == "merge_asof":
         return _asof_merge(left, right, on, left_ts, right_ts, value_cols)
+    if strategy == "union_window_split":
+        return _asof_union_window_split(left, right, on, left_ts, right_ts,
+                                        value_cols)
     raise ValueError(f"unknown asof strategy: {strategy}")
 
 
@@ -127,6 +130,94 @@ def _asof_merge(left, right, on, left_ts, right_ts, value_cols):
     # sorted merge inside Arrow batches.
     return (l.groupBy(*on).cogroup(r.groupBy(*on))
             .applyInPandas(merge, schema=out_schema))
+
+
+def _asof_union_window_split(left, right, on, left_ts, right_ts, value_cols,
+                             bucket_ms: int = 7 * 24 * 3600 * 1000):
+    """Skew-killing as-of: a Zipf-hot key turns the plain union_window into
+    a single-task straggler (one window partition per key). Split every
+    key's timeline into fixed time buckets; each (key, bucket) partition
+    carries independently, seeded with a carry-in row = the latest right
+    row of any STRICTLY EARLIER bucket (computed on the tiny per-(key,
+    bucket) seed table, so the pre-pass is O(keys × buckets)).
+
+    Same semantics as union_window (backward inclusive; right side must be
+    unique per (key, ts)); equivalence is property-tested.
+    """
+    left_cols = left.columns
+    ms = lambda c: F.unix_millis(F.col(c).cast("timestamp"))
+    LONG_MIN = -(1 << 62)
+
+    r = right.withColumn("__ms", ms(right_ts)) \
+             .withColumn("__bk", (F.col("__ms") / bucket_ms).cast("long"))
+    l = left.withColumn("__ms", ms(left_ts)) \
+            .withColumn("__bk", (F.col("__ms") / bucket_ms).cast("long"))
+
+    # seeds: latest right row per (key, bucket) — small
+    w_seed = (Window.partitionBy(*on, "__bk")
+              .orderBy(F.col("__ms").desc()))
+    seeds = (r.withColumn("__rn", F.row_number().over(w_seed))
+             .where(F.col("__rn") == 1).drop("__rn"))
+
+    # buckets that have left rows, and their carry-in from earlier buckets:
+    # union (needed side=0, seeds side=1) ordered by (bucket, side); a
+    # needed row sees only seeds with bucket < its own.
+    needed = l.select(*on, "__bk").distinct().withColumn("__sd", F.lit(0))
+    seed_rows = seeds.select(
+        *on, "__bk", F.lit(1).alias("__sd"),
+        F.col(right_ts).alias("__c_rts"),
+        *[F.col(c).alias(f"__c_{c}") for c in value_cols])
+    for c in ["__c_rts"] + [f"__c_{c}" for c in value_cols]:
+        needed = needed.withColumn(
+            c, F.lit(None).cast(dict(seed_rows.dtypes)[c]))
+    u = needed.select(seed_rows.columns).unionByName(seed_rows)
+    w_carry = (Window.partitionBy(*on)
+               .orderBy(F.col("__bk").asc(), F.col("__sd").asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carry = (u.select(
+        *on, "__bk", "__sd",
+        F.last("__c_rts", ignorenulls=True).over(w_carry).alias("__in_rts"),
+        *[F.last(f"__c_{c}", ignorenulls=True).over(w_carry)
+          .alias(f"__in_{c}") for c in value_cols])
+        .where((F.col("__sd") == 0) & F.col("__in_rts").isNotNull()))
+
+    # assemble the per-(key, bucket) union: carry-in (sorts first), rights,
+    # lefts — then one window partitioned by (key, bucket)
+    rt_type = right.schema[right_ts].dataType
+    def _vals(prefix_df, src):
+        return prefix_df
+    r_u = r.select(
+        *on, "__bk", F.col("__ms"), F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in left_cols])
+    c_u = carry.select(
+        *on, "__bk", F.lit(LONG_MIN).alias("__ms"),
+        F.lit(-1).alias("__side"),
+        F.col("__in_rts").alias("__rts"),
+        *[F.col(f"__in_{c}").alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in left_cols])
+    l_u = l.select(
+        *on, "__bk", F.col("__ms"), F.lit(1).alias("__side"),
+        F.lit(None).cast(rt_type).alias("__rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+          for c in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols])
+    u_all = r_u.unionByName(c_u).unionByName(l_u)
+    w = (Window.partitionBy(*on, "__bk")
+         .orderBy(F.col("__ms").asc(), F.col("__side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u_all.select(
+        "*",
+        F.last("__rts", ignorenulls=True).over(w).alias("__m_rts"),
+        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+          for c in value_cols])
+    return carried.where(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        F.col("__m_rts").alias(right_ts),
+        *[F.col(f"__m_{c}").alias(c) for c in value_cols])
 
 
 def audit_leakage(joined: DataFrame, left_ts: str = "event_ts",

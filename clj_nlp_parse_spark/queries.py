@@ -643,3 +643,6 @@ def q_verb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference feature/lang.clj:33-59)."""
     from clj_nlp_parse_spark.operators import srl
     return srl.verb_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+register("asof_join_split", _ASOF_ORACLE)(_q_asof("union_window_split"))

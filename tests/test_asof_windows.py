@@ -98,3 +98,43 @@ def test_lag_lead(spark):
     out = windows.with_lag_lead(out, {"value": -1})
     got = {r.event_id: (r.value_lag1, r.value_lead1) for r in out.collect()}
     assert got == {1: (None, 2.0), 2: (1.0, 3.0), 3: (2.0, None)}
+
+
+def test_asof_split_equals_union_window(spark):
+    # property: the skew-splitting strategy must produce IDENTICAL results
+    # to the plain window on randomized hot-key data spanning many buckets
+    import random
+    rnd = random.Random(7)
+    base = dt.datetime(2025, 1, 1)
+    lefts, rights = [], []
+    for i in range(600):
+        ent = f"e{min(rnd.randint(0, 9), rnd.randint(0, 9))}"  # skewed
+        ts = base + dt.timedelta(minutes=rnd.randint(0, 60 * 24 * 60))
+        lefts.append((i, ent, ts))
+    seen = set()
+    for i in range(300):
+        ent = f"e{rnd.randint(0, 9)}"
+        ts = base + dt.timedelta(minutes=rnd.randint(0, 60 * 24 * 60))
+        if (ent, ts) in seen:  # right side unique per (key, ts)
+            continue
+        seen.add((ent, ts))
+        rights.append((ent, ts, float(i)))
+    ldf = spark.createDataFrame(
+        lefts, "event_id long, entity_id string, event_ts timestamp")
+    rdf = spark.createDataFrame(
+        rights, "entity_id string, feature_ts timestamp, fval double")
+    a = asof.asof_join(ldf, rdf, ["entity_id"], strategy="union_window")
+    b = asof.asof_join(ldf, rdf, ["entity_id"],
+                       strategy="union_window_split")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    assert asof.audit_leakage(b) == 0
+
+
+def test_asof_split_small_goldens(spark):
+    left, right = _sides(spark)
+    out = asof.asof_join(left, right, on=["entity_id"],
+                         strategy="union_window_split")
+    got = {r.event_id: (r.feature_ts, r.fval) for r in out.collect()}
+    assert got == _expected()
