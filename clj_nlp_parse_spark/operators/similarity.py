@@ -47,3 +47,44 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int,
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+# --------------------------------------------------------------- scale path
+def _hyperplanes(dim: int, n_planes: int, seed: int = 1234) -> list[list[float]]:
+    """Deterministic random hyperplanes (seeded, engine-pinned)."""
+    import numpy as np
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(seed)))
+    return rng.normal(size=(n_planes, dim)).tolist()
+
+
+def _sign_bucket_expr(vec_col: str, planes: list[list[float]]) -> str:
+    """Bucket id = sign bits of <vec, plane_i> — pure Catalyst arithmetic."""
+    bits = []
+    for i, p in enumerate(planes):
+        dot = " + ".join(
+            f"cast(try_element_at({vec_col}, {j + 1}) as double) * {w!r}"
+            for j, w in enumerate(p))
+        bits.append(f"(CASE WHEN ({dot}) > 0.0 THEN {1 << i}L ELSE 0L END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int,
+             dim: int, n_planes: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets → equi-join candidates →
+    exact cosine only on candidates → window top-k.
+
+    At 10^12 rows the bucket join touches ~n/2^planes candidates per query
+    instead of n; buckets are an equi-join key (shuffle/broadcast-friendly),
+    AQE splits hot buckets. Recall is tested against brute force."""
+    planes = _hyperplanes(dim, n_planes)
+    vb = vectors.withColumn("__b", F.expr(_sign_bucket_expr(vec_col, planes)))
+    qb = queries.withColumn("__b", F.expr(_sign_bucket_expr(qvec_col, planes)))
+    j = vb.join(F.broadcast(qb), "__b")
+    scored = j.select(
+        F.col(qid_col), F.col(id_col),
+        F.expr(cosine_sql(qvec_col, vec_col, "spark")).alias("cosine"))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

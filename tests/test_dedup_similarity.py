@@ -78,3 +78,27 @@ def test_text_stats_shapes(spark):
     assert rows[1].n_ws_tokens == 12 and rows[1].n_word_tokens == 12
     assert 0.0 <= rows[1].quality <= 1.0
     assert rows[3].n_word_tokens == 0 and rows[3].fp_min == -1
+
+
+def test_lsh_topk_recall(spark):
+    # clustered embeddings — the regime ANN exists for: true neighbors have
+    # high cosine, so hyperplane buckets keep them together
+    import random
+    rnd = random.Random(9)
+    dim = 16
+    rows = []
+    centers = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(20)]
+    for i in range(400):
+        c = centers[i % 20]
+        rows.append((i, [x + rnd.gauss(0, 0.15) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = SIM.brute_force_topk(df, q, k=5)
+    approx = SIM.lsh_topk(df, q, k=5, dim=dim, n_planes=4)
+    ex = {(r.qid, r.vec_id) for r in exact.collect()}
+    ap = {(r.qid, r.vec_id) for r in approx.collect()}
+    # self-match always survives (same bucket) and recall is meaningful
+    assert all((i, i) in ap for i in range(5))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, recall
