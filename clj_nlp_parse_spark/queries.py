@@ -646,3 +646,154 @@ def q_verb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 register("asof_join_split", _ASOF_ORACLE)(_q_asof("union_window_split"))
+
+
+# ------------------------------------------------------ remaining O/F covers
+@register(
+    "sentiment_labels",
+    f"""
+    WITH sw AS (SELECT doc_id, {_SENT_WORDS_DUCK} AS sws FROM documents),
+    sc AS (SELECT doc_id,
+             CAST(coalesce(list_sum(list_transform(sws, ws -> ({_SC}))), 0)
+                  AS BIGINT) AS s FROM sw)
+    SELECT doc_id, s AS sentiment,
+      CASE WHEN s >= 2 THEN 'very positive' WHEN s = 1 THEN 'positive'
+           WHEN s = 0 THEN 'neutral' WHEN s = -1 THEN 'negative'
+           ELSE 'very negative' END AS sentiment_label
+    FROM sc ORDER BY doc_id""",
+)
+def q_sentiment_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 sentiment-score-to-label (reference parse.clj:242-252)."""
+    from clj_nlp_parse_spark.functions.parse import sentiment_label
+    sf = features.sentiment_features(_docs(spark, sf_dir))
+    return sf.select(
+        "doc_id", F.col("sentiment_utterance").alias("sentiment"),
+        sentiment_label(F.col("sentiment_utterance")).alias("sentiment_label"),
+    ).orderBy("doc_id")
+
+
+_PTYPE = dialect.pos_type_case_expr("x.pos_tag")
+
+
+@register(
+    "pos_tag_taxonomy",
+    _duck_toks_cte() + f"""
+    SELECT doc_id, x.word AS word, x.pos_tag AS pos_tag,
+           coalesce(x.pos_type, 'none') AS pos_type
+    FROM (SELECT doc_id, unnest(toks) AS x FROM tk)
+    ORDER BY doc_id, word, pos_tag""",
+)
+def q_pos_tag_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 pos-tag-type taxonomy lookup per token
+    (reference parse.clj:24-123)."""
+    ann = tx.annotate(_docs(spark, sf_dir))
+    return (ann.select("doc_id", F.explode("toks").alias("x"))
+            .select("doc_id", F.col("x.word").alias("word"),
+                    F.col("x.pos_tag").alias("pos_tag"),
+                    F.coalesce(F.col("x.pos_type"), F.lit("none"))
+                    .alias("pos_type"))
+            .orderBy("doc_id", "word", "pos_tag"))
+
+
+_WC_LEMMA_ORACLE = _duck_toks_cte() + """
+, gw AS (SELECT lang AS label, unnest(toks) AS x FROM tk)
+, cnt AS (SELECT label, x.lemma AS word, count(*) AS c
+          FROM gw WHERE x.is_go GROUP BY 1, 2)
+, topn AS (SELECT label, word, c,
+             row_number() OVER (PARTITION BY label ORDER BY c DESC, word ASC)
+               AS rn
+           FROM cnt)
+, dist AS (SELECT label, word, c FROM topn WHERE rn <= 3)
+, tot AS (SELECT label, sum(c) AS total FROM dist GROUP BY label)
+, tokall AS (SELECT doc_id, unnest(toks) AS x FROM tk)
+, hits AS (SELECT t.doc_id, d.label, sum(d.c) AS sc
+           FROM tokall t JOIN dist d ON t.x.lemma = d.word GROUP BY 1, 2)
+SELECT dd.doc_id, l.label,
+       CAST(coalesce(h.sc, 0) AS DOUBLE) / t.total AS score
+FROM (SELECT DISTINCT doc_id FROM documents) dd
+CROSS JOIN (SELECT DISTINCT label FROM dist) l
+JOIN tot t ON t.label = l.label
+LEFT JOIN hits h ON h.doc_id = dd.doc_id AND h.label = l.label
+ORDER BY dd.doc_id, l.label"""
+
+
+@register("word_count_scores_lemma", _WC_LEMMA_ORACLE)
+def q_word_count_scores_lemma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7-F12 with the lemma word-form variant (stopword.clj:24-26
+    word-form-fn alternative)."""
+    from clj_nlp_parse_spark.operators.word_count import WordCountFeaturizer
+    docs = _docs(spark, sf_dir)
+    fz = WordCountFeaturizer(words_by_label_count=3, label_col="lang",
+                             text_col="text", form="lemma")
+    model = fz.fit(docs)
+    wide = fz.transform(docs, model, id_col="doc_id")
+    labs = model.labels()
+    stack = ", ".join(f"'{lab}', word_count_{lab}" for lab in labs)
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({len(labs)}, {stack}) AS (label, score)"),
+    ).orderBy("doc_id", "label")
+
+
+_WC_CTES = _WC_ORACLE[:_WC_ORACLE.index("SELECT dd.doc_id")]
+
+
+@register(
+    "top_count_scores",
+    _WC_CTES + """
+    , ranked AS (
+      SELECT dd.doc_id, l.label,
+             CAST(coalesce(h.sc, 0) AS DOUBLE) / t.total AS score
+      FROM (SELECT DISTINCT doc_id FROM documents) dd
+      CROSS JOIN (SELECT DISTINCT label FROM dist) l
+      JOIN tot t ON t.label = l.label
+      LEFT JOIN hits h ON h.doc_id = dd.doc_id AND h.label = l.label)
+    SELECT doc_id, label, score, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT doc_id, label, score,
+        row_number() OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, label ASC) AS rn
+      FROM ranked WHERE score > 0)
+    WHERE rn <= 2 ORDER BY doc_id, rn""",
+)
+def q_top_count_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 top-count-scores (reference word_count.clj:103-117)."""
+    from clj_nlp_parse_spark.operators.word_count import WordCountFeaturizer
+    docs = _docs(spark, sf_dir)
+    fz = WordCountFeaturizer(words_by_label_count=3, label_col="lang",
+                             text_col="text")
+    model = fz.fit(docs)
+    out = fz.top_count_scores(docs, model, num_counts=2, id_col="doc_id")
+    return out.select("doc_id", "label", "score",
+                      F.col("rn").cast("int").alias("rn")) \
+              .orderBy("doc_id", "rn")
+
+
+@register(
+    "interval_overlap_join",
+    """
+    WITH iv AS (SELECT user_id, epoch_ms(ts) AS beg_ms,
+                       epoch_ms(ts) + 600000 AS end_ms, event_id AS iv_id
+                FROM events WHERE event_id % 10 = 0),
+    pts AS (SELECT event_id, user_id, epoch_ms(ts) AS p_ms
+            FROM events WHERE event_id % 10 <> 0)
+    SELECT p.event_id, p.user_id, i.iv_id
+    FROM pts p JOIN iv i
+      ON p.user_id = i.user_id
+     AND i.beg_ms <= p.p_ms AND p.p_ms <= i.end_ms
+    ORDER BY p.event_id, i.iv_id""",
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O5 interval-overlap/containment as a TABLE-level range join
+    (reference parse.clj:173-192): equi-join on the entity plus range
+    predicate — the bucketed form of SURVEY.md §2.6."""
+    ev = _events(spark, sf_dir)
+    iv = (ev.where(F.col("event_id") % 10 == 0)
+          .select("user_id", F.unix_millis("ts").alias("beg_ms"),
+                  (F.unix_millis("ts") + 600000).alias("end_ms"),
+                  F.col("event_id").alias("iv_id")))
+    pts = (ev.where(F.col("event_id") % 10 != 0)
+           .select("event_id", "user_id", F.unix_millis("ts").alias("p_ms")))
+    out = pts.join(iv, (pts.user_id == iv.user_id)
+                   & (iv.beg_ms <= pts.p_ms) & (pts.p_ms <= iv.end_ms))
+    return out.select(pts.event_id, pts.user_id, iv.iv_id) \
+              .orderBy("event_id", "iv_id")
