@@ -98,7 +98,13 @@ def _asof_union_window(left, right, on, left_ts, right_ts, value_cols):
     return out
 
 
-def _asof_merge(left, right, on, left_ts, right_ts, value_cols):
+def _asof_merge(left, right, on, left_ts, right_ts, value_cols,
+                n_buckets: int = 64):
+    """Cogrouped merge_asof. Keys are hash-bucketed so each pandas call
+    handles a whole bucket of keys via pd.merge_asof(by=on) — per-group
+    Python invocation overhead is paid per BUCKET (n_buckets total), not
+    per key (unbounded). This is the repartition + sortWithinPartitions +
+    grouped merge_asof shape from SURVEY.md §2.6."""
     import pandas as pd
 
     left_cols = left.columns
@@ -107,12 +113,24 @@ def _asof_merge(left, right, on, left_ts, right_ts, value_cols):
     from pyspark.sql import types as T
     out_schema = T.StructType(out_fields)
 
-    l = left.select(*left_cols)
-    r = right.select(*on, right_ts, *value_cols)
+    # When left and right descend from the same parent DataFrame, Spark's
+    # cogroup self-join deduplication can silently drop the right side's
+    # shared-lineage key attributes. Rename keys on the right internally
+    # and restore them pandas-side.
+    l = left.select(*left_cols).withColumn(
+        "__bkt", F.pmod(F.xxhash64(*on), F.lit(n_buckets)))
+    r = right.select(
+        *[F.col(k).alias(f"__k_{k}") for k in on], right_ts, *value_cols
+    ).withColumn(
+        "__bkt", F.pmod(F.xxhash64(*[f"__k_{k}" for k in on]),
+                        F.lit(n_buckets)))
 
     def merge(lpdf, rpdf):
-        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
-        rpdf = rpdf.sort_values(right_ts, kind="mergesort")
+        lpdf = lpdf.drop(columns=["__bkt"]).sort_values(
+            left_ts, kind="mergesort")
+        rpdf = rpdf.drop(columns=["__bkt"]).rename(
+            columns={f"__k_{k}": k for k in on}).sort_values(
+            right_ts, kind="mergesort")
         if rpdf.empty:
             m = lpdf.copy()
             m[right_ts] = pd.NaT if str(out_schema[right_ts].dataType) == "TimestampType()" else None
@@ -120,15 +138,15 @@ def _asof_merge(left, right, on, left_ts, right_ts, value_cols):
                 m[c] = None
             return m[[*left_cols, right_ts, *value_cols]]
         m = pd.merge_asof(
-            lpdf, rpdf.drop(columns=[c for c in on]),
-            left_on=left_ts, right_on=right_ts,
+            lpdf, rpdf,
+            left_on=left_ts, right_on=right_ts, by=on,
             direction="backward", allow_exact_matches=True,
         )
         return m[[*left_cols, right_ts, *value_cols]]
 
-    # cogroup co-partitions both sides by the key — one shuffle each side,
-    # sorted merge inside Arrow batches.
-    return (l.groupBy(*on).cogroup(r.groupBy(*on))
+    # cogroup co-partitions both sides by bucket — one shuffle each side,
+    # merge_asof(by=key) inside Arrow batches.
+    return (l.groupBy("__bkt").cogroup(r.groupBy("__bkt"))
             .applyInPandas(merge, schema=out_schema))
 
 
