@@ -57,14 +57,23 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 1234) -> list[list[float]]
     return rng.normal(size=(n_planes, dim)).tolist()
 
 
-def _sign_bucket_expr(vec_col: str, planes: list[list[float]]) -> str:
-    """Bucket id = sign bits of <vec, plane_i> — pure Catalyst arithmetic."""
+def _sign_bucket_expr(vec_col: str, planes: list[list[float]],
+                      d: str = "spark") -> str:
+    """Bucket id = sign bits of <vec, plane_i> — dialect-common arithmetic
+    (identical in Spark SQL and DuckDB so the oracle can replay it)."""
     bits = []
     for i, p in enumerate(planes):
-        dot = " + ".join(
-            f"cast(try_element_at({vec_col}, {j + 1}) as double) * {w!r}"
-            for j, w in enumerate(p))
-        bits.append(f"(CASE WHEN ({dot}) > 0.0 THEN {1 << i}L ELSE 0L END)")
+        if d == "spark":
+            elems = [f"cast(try_element_at({vec_col}, {j + 1}) as double)"
+                     for j in range(len(p))]
+            one = "L"
+        else:
+            elems = [f"CAST({vec_col}[{j + 1}] AS DOUBLE)"
+                     for j in range(len(p))]
+            one = "::BIGINT"
+        dot = " + ".join(f"{e} * {w!r}" for e, w in zip(elems, p))
+        bits.append(f"(CASE WHEN ({dot}) > 0.0 THEN {1 << i}{one} "
+                    f"ELSE 0{one} END)")
     return "(" + " + ".join(bits) + ")"
 
 
@@ -88,3 +97,27 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int,
     w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (scored.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
+
+
+def cosine_dedup_pairs(vectors: DataFrame, threshold: float,
+                       dim: int, n_planes: int = 8,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup variant, round brief):
+    hyperplane-bucket candidates (equi-join — near-identical vectors share
+    all sign bits) verified with exact cosine >= threshold. Misses only
+    pairs straddling a hyperplane; at dedup thresholds (>=0.9) recall is
+    high and the join never goes quadratic."""
+    planes = _hyperplanes(dim, n_planes)
+    vb = vectors.withColumn(
+        "__b", F.expr(_sign_bucket_expr(vec_col, planes, "spark")))
+    a = vb.alias("a")
+    b = vb.alias("b")
+    pairs = a.join(b, (F.col("a.__b") == F.col("b.__b"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    scored = pairs.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.expr(cosine_sql(f"a.{vec_col}", f"b.{vec_col}", "spark"))
+        .alias("cosine"))
+    return scored.where(F.col("cosine") >= threshold)

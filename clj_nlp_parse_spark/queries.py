@@ -797,3 +797,34 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (iv.beg_ms <= pts.p_ms) & (pts.p_ms <= iv.end_ms))
     return out.select(pts.event_id, pts.user_id, iv.iv_id) \
               .orderBy("event_id", "iv_id")
+
+
+_PLANES = SIM._hyperplanes(64, 6)  # embeddings dim is 64 in testdata
+_SB_DUCK = SIM._sign_bucket_expr("embedding", _PLANES, "duck")
+_COS_DUCK = SIM.cosine_sql("a.embedding", "b.embedding", "duck")
+
+
+@register(
+    "cosine_dedup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL
+               SELECT vec_id + 1000000, embedding
+               FROM embeddings WHERE vec_id < 50),
+    vb AS (SELECT vec_id, embedding, {_SB_DUCK} AS b FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS_DUCK} AS cosine
+    FROM vb a JOIN vb b ON a.b = b.b AND a.vec_id < b.vec_id
+    WHERE {_COS_DUCK} >= 0.99
+    ORDER BY id_a, id_b""",
+)
+def q_cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup suite, round brief). The
+    testdata embeddings are random (max pairwise cosine ~0.51), so exact
+    duplicates are injected deterministically (vec_id<50 re-keyed +1e6) —
+    the operator must find exactly those pairs and nothing else."""
+    emb = _emb(spark, sf_dir)
+    dups = (emb.where(F.col("vec_id") < 50)
+            .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding"))
+    e = emb.select("vec_id", "embedding").unionByName(dups)
+    out = SIM.cosine_dedup_pairs(e, threshold=0.99, dim=64, n_planes=6)
+    return out.orderBy("id_a", "id_b")
