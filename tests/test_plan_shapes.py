@@ -1,0 +1,90 @@
+"""Physical-plan shape assertions — the 100 TB questions as regression
+tests: does the filter reach the scan, is the scan pruned to the needed
+columns, is the small side broadcast, how many shuffles does each operator
+pay, does the hot path stay in whole-stage codegen with zero Python."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_feature_scan_pruned_and_pushed(spark, sf_dir):
+    from clj_nlp_parse_spark.operators.features import pos_tag_features
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .where(F.col("doc_id") < 100)
+    plan = _plan(pos_tag_features(df))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    # column pruning: only the two needed columns are read
+    assert "doc_id" in scan and "text" in scan
+    assert "lang" not in scan and "n_chars" not in scan
+    # predicate pushdown reaches the scan
+    assert "doc_id" in scan.split("DataFilters")[1][:120]
+    # pure projection: no exchange, no Python
+    assert "Exchange" not in plan
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+
+
+def test_asof_union_window_single_shuffle_no_python(spark):
+    import datetime as dt
+    from clj_nlp_parse_spark.operators import asof
+    l = spark.createDataFrame(
+        [(1, "a", dt.datetime(2025, 1, 1))],
+        "event_id long, entity_id string, event_ts timestamp")
+    r = spark.createDataFrame(
+        [("a", dt.datetime(2025, 1, 1), 1.0)],
+        "entity_id string, feature_ts timestamp, fval double")
+    plan = _plan(asof.asof_join(l, r, ["entity_id"]))
+    # exactly one shuffle: the window partitioning on the join key
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "ArrowEval" not in plan and "FlatMapCoGroups" not in plan
+
+
+def test_similarity_topk_broadcasts_queries(spark, sf_dir):
+    from clj_nlp_parse_spark.operators import similarity as SIM
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    plan = _plan(SIM.brute_force_topk(emb, q, k=5))
+    assert "BroadcastExchange" in plan
+    # the big side is never shuffled for the join itself (only the window)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_word_count_transform_is_pure_projection(spark, sf_dir):
+    from clj_nlp_parse_spark.operators.word_count import WordCountFeaturizer
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fz = WordCountFeaturizer(label_col="lang", text_col="text")
+    model = fz.fit(docs)
+    plan = _plan(fz.transform(docs, model))
+    # scoring after fit: broadcast literal maps, no join, no shuffle, no UDF
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEval" not in plan
+
+
+def test_dedup_exact_single_shuffle(spark, sf_dir):
+    from clj_nlp_parse_spark.operators.dedup import exact_dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(exact_dedup(docs))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_image_features_drop_bytes_before_any_exchange(spark):
+    from clj_nlp_parse_spark import synth
+    from clj_nlp_parse_spark.operators import asof, images
+    imgs = synth.synth_images(spark, 32)
+    feats = images.extract_image_features(imgs)
+    events = imgs.select("entity_id", "event_ts")
+    out = asof.asof_join(events, feats.select(
+        "entity_id", "feature_ts", "px_std"), on=["entity_id"])
+    plan = _plan(out)
+    # bytes never appear below an Exchange: the only reference to the
+    # binary column is inside the mapInPandas stage feeding it
+    exchange_at = plan.index("Exchange")
+    assert "bytes" not in plan[:exchange_at]
