@@ -828,3 +828,36 @@ def q_cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("vec_id", "embedding").unionByName(dups)
     out = SIM.cosine_dedup_pairs(e, threshold=0.99, dim=64, n_planes=6)
     return out.orderBy("id_a", "id_b")
+
+
+@register(
+    "jaccard_pairs_capped",
+    _WD_CTE + f"""
+    , sh AS (SELECT doc_id, {DD.word_shingles_sql('words', 3, 'duck')}
+               AS shingles FROM wd)
+    , sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh)
+    , inv0 AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    , hot AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) > 20)
+    , inv AS (SELECT doc_id, s FROM inv0 WHERE s NOT IN (SELECT s FROM hot))
+    , inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(count(*) AS BIGINT) AS inter
+                FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+    SELECT doc_a, doc_b, inter,
+      CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE)
+        AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE)
+          >= 0.5
+    ORDER BY doc_a, doc_b""",
+)
+def q_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard near-dup with document-frequency cap (df > 20 shingles
+    dropped from the inverted index) — the skew kill for hot shingles;
+    at real-corpus scale this bounds the self-join blowup. Note the
+    jaccard denominator still uses FULL shingle-set sizes, so scores are
+    exact for pairs whose intersection survives the cap."""
+    return (DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5,
+                                   max_df=20)
+            .orderBy("doc_a", "doc_b"))
