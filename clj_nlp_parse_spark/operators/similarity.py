@@ -99,6 +99,86 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int,
             .where(F.col("rank") <= k))
 
 
+def _centroids(dim: int, n_cells: int, seed: int = 4321) -> list[list[float]]:
+    """Deterministic unit-norm coarse centroids (seeded, engine-pinned).
+    A production deployment would k-means these on a sample; the quantizer
+    contract (argmax dot with unit centroids == argmax cosine) is identical."""
+    import numpy as np
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(seed)))
+    c = rng.normal(size=(n_cells, dim))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def _centroid_dots_expr(vec_col: str, cents: list[list[float]],
+                        d: str = "spark") -> str:
+    """SQL array of <vec, centroid_i> dots — literal weights, dialect-common
+    arithmetic (replayable in DuckDB for the oracle)."""
+    dots = []
+    for p in cents:
+        if d == "spark":
+            elems = [f"cast(try_element_at({vec_col}, {j + 1}) as double)"
+                     for j in range(len(p))]
+        else:
+            elems = [f"CAST({vec_col}[{j + 1}] AS DOUBLE)"
+                     for j in range(len(p))]
+        dots.append("(" + " + ".join(
+            f"{e} * {w!r}" for e, w in zip(elems, p)) + ")")
+    fn = "array" if d == "spark" else "list_value"
+    return fn + "(" + ", ".join(dots) + ")"
+
+
+def cell_expr(vec_col: str, cents: list[list[float]], d: str = "spark") -> str:
+    """IVF cell id = 1-based argmax of centroid dots (first max on ties —
+    deterministic in both dialects). The dots array is bound ONCE via the
+    single-element-transform let idiom (HOF free vars re-evaluate otherwise)."""
+    dots = _centroid_dots_expr(vec_col, cents, d)
+    if d == "spark":
+        return (f"try_element_at(transform(array({dots}), "
+                f"z -> array_position(z, array_max(z))), 1)")
+    return (f"list_transform([{dots}], "
+            f"z -> list_position(z, list_max(z)))[1]")
+
+
+def _probe_cells_expr(vec_col: str, cents: list[list[float]],
+                      nprobe: int) -> str:
+    """Top-nprobe cell ids by dot, descending (Spark only; ties → lower id).
+    Struct sort on (-dot, id) gives the deterministic probe order."""
+    dots = _centroid_dots_expr(vec_col, cents, "spark")
+    return (f"try_element_at(transform(array({dots}), z -> "
+            f"slice(transform(array_sort(transform(z, (d, i) -> "
+            f"named_struct('negd', -d, 'i', i + 1))), s -> s.i), "
+            f"1, {nprobe})), 1)")
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
+             dim: int, n_cells: int = 8, nprobe: int = 1,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
+    """IVF-style approximate top-k (the second scale path beside lsh_topk):
+    vectors are coarse-quantized to their nearest unit centroid (one pass,
+    pure codegen projection — at 10^12 rows this is the partition key the
+    index is physically laid out on); queries probe their `nprobe` nearest
+    cells; only probed cells get exact cosine scoring.
+
+    Scan cost drops to ~nprobe/n_cells of the corpus; the cell id is an
+    equi-join key so the probe is a broadcast hash join, and skewed cells
+    are split by AQE. Recall vs brute force is pytest-checked; nprobe=1 is
+    exactly reproducible in DuckDB (oracle query `ivf_topk`)."""
+    cents = _centroids(dim, n_cells)
+    vb = vectors.withColumn("__cell", F.expr(cell_expr(vec_col, cents)))
+    qb = queries.withColumn(
+        "__cell",
+        F.explode(F.expr(_probe_cells_expr(qvec_col, cents, nprobe))))
+    j = vb.join(F.broadcast(qb), "__cell")
+    scored = j.select(
+        F.col(qid_col), F.col(id_col),
+        F.expr(cosine_sql(qvec_col, vec_col, "spark")).alias("cosine"))
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def cosine_dedup_pairs(vectors: DataFrame, threshold: float,
                        dim: int, n_planes: int = 8,
                        id_col: str = "vec_id",

@@ -861,3 +861,200 @@ def q_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5,
                                    max_df=20)
             .orderBy("doc_a", "doc_b"))
+
+
+# ----------------------------------------------- positional / slice (O2, O8)
+@register(
+    "token_positional",
+    _duck_toks_cte() + """
+    SELECT doc_id,
+      toks[1].word AS first_word,
+      toks[3].pos_tag AS third_tag,
+      toks[-1].word AS last_word,
+      array_to_string(list_slice(words, 2, 4), ' ') AS slice_2_4
+    FROM tk ORDER BY doc_id""",
+)
+def q_token_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 positional nth access + O8 token-range slice
+    (reference parse.clj:157-165, 213-219): try_element_at is the null-safe
+    nth (1-based, -1 = last), slice(words, beg, len) is tokens-by-sentence's
+    drop/take — both pure codegen projections, no shuffle."""
+    ann = tx.annotate(_docs(spark, sf_dir))
+    return ann.select(
+        "doc_id",
+        F.expr("try_element_at(toks, 1).word").alias("first_word"),
+        F.expr("try_element_at(toks, 3).pos_tag").alias("third_tag"),
+        F.expr("try_element_at(toks, -1).word").alias("last_word"),
+        F.expr("array_join(slice(words, 2, 3), ' ')").alias("slice_2_4"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------------------- mention-source union (O6)
+DICT_ITEMS2 = [
+    D.DictItem(11, "table hash", "HASH2"),
+    D.DictItem(12, "customer join", "JOIN2"),
+    D.DictItem(13, "the window", "WIN2"),   # det-chop → single-token 'window'
+    D.DictItem(14, "big order", "ORD2"),
+]
+_COMPILED2 = D.compile_items(DICT_ITEMS2)
+
+
+@register(
+    "mention_union",
+    _duck_toks_cte()
+    + f""", lm AS (SELECT doc_id, words, toks,
+        list_transform(toks, x -> x.lemma) AS lemmas FROM tk),
+    mu AS (SELECT doc_id,
+        ({D.mentions_sql(_COMPILED, 'words', 'lemmas', 'duck')}
+         || {D.mentions_sql(_COMPILED2, 'words', 'lemmas', 'duck')})
+          AS mentions FROM lm)
+    SELECT doc_id, x.label AS label, x.item_id AS item_id,
+           CAST(x.tok_beg AS BIGINT) AS tok_beg,
+           CAST(x.tok_end AS BIGINT) AS tok_end
+    FROM (SELECT doc_id, unnest(mentions) AS x FROM mu)
+    ORDER BY doc_id, item_id, tok_beg""",
+)
+def q_mention_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 union of mention sources (reference parse.clj:194-205): two
+    independently tagged mention lists concat'd per row — the array form of
+    unionByName, zero shuffle. Second source tagged with the same
+    let-binding idiom (HOF free-var re-eval guard)."""
+    tagged = D.tag_mentions(_docs(spark, sf_dir), DICT_ITEMS)
+    body2 = D.mentions_sql(_COMPILED2, "z.ws", "z.ls", "spark")
+    let2 = (f"try_element_at(transform("
+            f"array(named_struct('ws', words, 'ls', lemmas)), "
+            f"z -> {body2}), 1)")
+    unioned = tagged.withColumn(
+        "all_mentions", F.expr(f"concat(tok_re_mentions, {let2})"))
+    return (unioned.select("doc_id", F.explode("all_mentions").alias("x"))
+            .select("doc_id", F.col("x.label").alias("label"),
+                    F.col("x.item_id").alias("item_id"),
+                    F.col("x.tok_beg").cast("long").alias("tok_beg"),
+                    F.col("x.tok_end").cast("long").alias("tok_end"))
+            .orderBy("doc_id", "item_id", "tok_beg"))
+
+
+# ------------------------------------------- F3 srl features + O15 first scan
+def _srl_frags(d: str) -> dict[str, str]:
+    """Dialect-common fragments over the annotated `toks` array with a
+    synthesized-but-deterministic srl struct: propbank = 'pb.'+lemma for
+    words of length >= 5, first-head dep label present for non-stop words
+    longer than 3 chars (the engine has no SRL model — SURVEY.md §2.3 A13:
+    selection logic + struct shape are the parity surface)."""
+    if d == "spark":
+        pb_arr = ("transform(toks, x -> CASE WHEN length(x.word) >= 5 "
+                  "THEN concat('pb.', x.lemma) ELSE NULL END)")
+        h = dialect.hash32_expr("p", "spark")
+        pid = (f"aggregate(transform({pb_arr}, p -> "
+               f"CASE WHEN p IS NULL THEN 0L ELSE ({h}) END), "
+               f"0L, (a, x) -> a + x)")
+        argc = ("size(filter(toks, x -> NOT x.is_stop "
+                "AND length(x.word) > 3))")
+        first_pb = (f"coalesce(try_element_at(filter({pb_arr}, "
+                    f"p -> p IS NOT NULL), 1), '{schema.NONE_LABEL}')")
+    else:
+        pb_arr = ("list_transform(toks, x -> CASE WHEN length(x.word) >= 5 "
+                  "THEN 'pb.' || x.lemma ELSE NULL END)")
+        h = dialect.hash32_expr("p", "duck")
+        pid = (f"CAST(coalesce(list_sum(list_transform({pb_arr}, p -> "
+               f"CASE WHEN p IS NULL THEN 0 ELSE ({h}) END)), 0) AS BIGINT)")
+        argc = ("CAST(len(list_filter(toks, x -> NOT x.is_stop "
+                "AND length(x.word) > 3)) AS BIGINT)")
+        first_pb = (f"coalesce(list_filter({pb_arr}, "
+                    f"p -> p IS NOT NULL)[1], '{schema.NONE_LABEL}')")
+    return {"pid": pid, "argc": argc, "first_pb": first_pb}
+
+
+_SRL_D = _srl_frags("duck")
+
+
+@register(
+    "srl_features",
+    _duck_toks_cte() + f"""
+    SELECT doc_id,
+      {_SRL_D['pid']} AS srl_propbank_id,
+      {_SRL_D['argc']} AS srl_argument_counts,
+      {_SRL_D['first_pb']} AS first_propbank_label
+    FROM tk ORDER BY doc_id""",
+)
+def q_srl_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 srl-features (reference feature/lang.clj:142-160: propbank-id =
+    sum of hashes with nil→0; argument-counts = tokens with a first-head
+    dependency label) + O15 first non-null scan (feature/lang.clj:15-31)."""
+    s = _srl_frags("spark")
+    ann = tx.annotate(_docs(spark, sf_dir))
+    return ann.select(
+        "doc_id",
+        F.expr(s["pid"]).cast("long").alias("srl_propbank_id"),
+        F.expr(s["argc"]).cast("long").alias("srl_argument_counts"),
+        F.expr(s["first_pb"]).alias("first_propbank_label"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------- O15 windowed first non-null (events)
+@register(
+    "first_non_null",
+    """
+    WITH e AS (SELECT user_id, ts, event_id,
+                 CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+               FROM events)
+    SELECT user_id,
+      first(v ORDER BY ts, event_id) FILTER (WHERE v IS NOT NULL)
+        AS first_value
+    FROM e GROUP BY user_id ORDER BY user_id""",
+)
+def q_first_non_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15 first non-null over an ordered scan, windowed form
+    (reference feature/lang.clj:15-31): F.first(ignorenulls=True) over the
+    entity-ordered frame — one shuffle on the entity key."""
+    from pyspark.sql import Window
+    ev = _events(spark, sf_dir).withColumn(
+        "v", F.when(F.col("event_id") % 5 == 0, F.lit(None))
+              .otherwise(F.col("value")))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.withColumn("first_value", F.first("v", ignorenulls=True).over(w))
+            .withColumn("__rn", F.row_number().over(rn))
+            .where(F.col("__rn") == 1)
+            .select("user_id", "first_value")
+            .orderBy("user_id"))
+
+
+# ----------------------------------------------------- IVF ANN (scale path 2)
+_IVF_CELLS = SIM._centroids(64, 8)
+
+
+@register(
+    "ivf_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec
+               FROM embeddings WHERE vec_id < 3),
+    qc AS (SELECT qid, qvec, {SIM.cell_expr('qvec', _IVF_CELLS, 'duck')}
+             AS cell FROM q),
+    vc AS (SELECT vec_id, embedding,
+             {SIM.cell_expr('embedding', _IVF_CELLS, 'duck')} AS cell
+           FROM embeddings),
+    scored AS (SELECT qc.qid, vc.vec_id,
+                 {SIM.cosine_sql('qc.qvec', 'vc.embedding', 'duck')} AS cosine
+               FROM vc JOIN qc ON vc.cell = qc.cell)
+    SELECT qid, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT qid, vec_id, cosine,
+        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC)
+          AS rank
+      FROM scored)
+    WHERE rank <= 5 ORDER BY qid, rank""",
+)
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (round brief 'IVF or LSH-bucketed
+    variant as the scale path'): coarse-quantize to nearest unit centroid,
+    probe the query's cell, exact-score candidates only. nprobe=1 here so
+    DuckDB replays the identical deterministic quantizer; recall at
+    nprobe>=2 is pytest-checked against brute force."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    out = SIM.ivf_topk(emb, queries, k=5, dim=64, n_cells=8, nprobe=1)
+    return out.select("qid", "vec_id", "cosine",
+                      F.col("rank").cast("int").alias("rank")) \
+              .orderBy("qid", "rank")

@@ -102,3 +102,46 @@ def test_lsh_topk_recall(spark):
     assert all((i, i) in ap for i in range(5))
     recall = len(ex & ap) / len(ex)
     assert recall >= 0.6, recall
+
+
+def test_ivf_topk_recall_and_probe(spark):
+    # same clustered regime as the LSH test; IVF with nprobe=2 must keep
+    # self-matches (a vector's own cell is always its top probe) and beat
+    # the 0.6 recall floor vs brute force
+    import random
+    rnd = random.Random(9)
+    dim = 16
+    rows = []
+    centers = [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(20)]
+    for i in range(400):
+        c = centers[i % 20]
+        rows.append((i, [x + rnd.gauss(0, 0.15) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    exact = SIM.brute_force_topk(df, q, k=5)
+    approx = SIM.ivf_topk(df, q, k=5, dim=dim, n_cells=6, nprobe=2)
+    ex = {(r.qid, r.vec_id) for r in exact.collect()}
+    ap = {(r.qid, r.vec_id) for r in approx.collect()}
+    assert all((i, i) in ap for i in range(5))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.6, recall
+
+
+def test_ivf_cell_assignment_deterministic(spark):
+    # quantizer is a pure projection: same vector -> same cell at any
+    # parallelism; probe order is (-dot, cell_id) deterministic
+    from pyspark.sql import functions as F2
+    cents = SIM._centroids(8, 4)
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5 - 2) for j in range(8)])
+         for i in range(50)],
+        "vec_id long, embedding array<double>")
+    one = df.coalesce(1).withColumn(
+        "c", F2.expr(SIM.cell_expr("embedding", cents))).collect()
+    many = df.repartition(8).withColumn(
+        "c", F2.expr(SIM.cell_expr("embedding", cents))).collect()
+    a = {r.vec_id: r.c for r in one}
+    b = {r.vec_id: r.c for r in many}
+    assert a == b
+    assert set(a.values()) <= set(range(1, 5))
