@@ -41,9 +41,18 @@ def asof_join(
     right_ts: str = "feature_ts",
     value_cols: Sequence[str] | None = None,
     strategy: str = "union_window",
+    direction: str = "backward",
+    tolerance_ms: int | None = None,
 ) -> DataFrame:
-    """Backward inclusive as-of join: for each left row, attach the right
-    row's values with the greatest right_ts <= left_ts within `on` keys.
+    """As-of join: for each left row, attach the right row's values at the
+    greatest right_ts <= left_ts (direction='backward', inclusive — the
+    point-in-time default) or the smallest right_ts >= left_ts
+    (direction='forward', inclusive — e.g. label joins) within `on` keys.
+
+    tolerance_ms: if set, matches farther than this from the event are
+    nulled out. Equivalent to matching 'latest/earliest within tolerance':
+    any other candidate is strictly farther, so post-match filtering is
+    exact (the pd.merge_asof tolerance contract).
 
     Output: all left columns + matched right_ts (named after right_ts,
     NULL when no match) + value_cols (NULL when no match).
@@ -51,23 +60,49 @@ def asof_join(
     on = list(on)
     value_cols = list(value_cols) if value_cols is not None else [
         c for c in right.columns if c not in on and c != right_ts]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown asof direction: {direction}")
+    if direction == "forward" and strategy != "union_window":
+        raise ValueError("direction='forward' is implemented for the "
+                         "union_window strategy")
     if strategy == "union_window":
-        return _asof_union_window(left, right, on, left_ts, right_ts, value_cols)
-    if strategy == "merge_asof":
-        return _asof_merge(left, right, on, left_ts, right_ts, value_cols)
-    if strategy == "union_window_split":
-        return _asof_union_window_split(left, right, on, left_ts, right_ts,
-                                        value_cols)
-    raise ValueError(f"unknown asof strategy: {strategy}")
+        out = _asof_union_window(left, right, on, left_ts, right_ts,
+                                 value_cols, direction)
+    elif strategy == "merge_asof":
+        out = _asof_merge(left, right, on, left_ts, right_ts, value_cols)
+    elif strategy == "union_window_split":
+        out = _asof_union_window_split(left, right, on, left_ts, right_ts,
+                                       value_cols)
+    else:
+        raise ValueError(f"unknown asof strategy: {strategy}")
+    if tolerance_ms is not None:
+        if direction == "backward":
+            dist = F.unix_millis(F.col(left_ts).cast("timestamp")) - \
+                F.unix_millis(F.col(right_ts).cast("timestamp"))
+        else:
+            dist = F.unix_millis(F.col(right_ts).cast("timestamp")) - \
+                F.unix_millis(F.col(left_ts).cast("timestamp"))
+        bad = F.col(right_ts).isNull() | (dist > tolerance_ms)
+        out = out.select(
+            *[c for c in left.columns],
+            F.when(bad, F.lit(None)).otherwise(F.col(right_ts)).alias(right_ts),
+            *[F.when(bad, F.lit(None)).otherwise(F.col(c)).alias(c)
+              for c in value_cols])
+    return out
 
 
-def _asof_union_window(left, right, on, left_ts, right_ts, value_cols):
+def _asof_union_window(left, right, on, left_ts, right_ts, value_cols,
+                       direction: str = "backward"):
     left_cols = left.columns
-    # tag: right rows sort BEFORE left rows at equal ts → inclusive <=
+    # tag ordering gives inclusive matching at equal ts:
+    #   backward: right rows sort BEFORE left rows → last() sees them
+    #   forward:  right rows sort AFTER  left rows → first() over the
+    #             following frame sees them
+    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         F.col(right_ts).alias("__rts"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
         *[F.lit(None).alias(f"__l_{c}") for c in left_cols],
@@ -75,22 +110,27 @@ def _asof_union_window(left, right, on, left_ts, right_ts, value_cols):
     l = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
-        F.lit(1).alias("__side"),
+        F.lit(l_side).alias("__side"),
         F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
           for c in value_cols],
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
     )
     u = r.unionByName(l)
-    w = (Window.partitionBy(*on).orderBy(F.col("__ts").asc(), F.col("__side").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    base = Window.partitionBy(*on).orderBy(F.col("__ts").asc(),
+                                           F.col("__side").asc())
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        carry = lambda c: F.last(c, ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        carry = lambda c: F.first(c, ignorenulls=True).over(w)
     carried = u.select(
         "*",
-        F.last("__rts", ignorenulls=True).over(w).alias("__m_rts"),
-        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-          for c in value_cols],
+        carry("__rts").alias("__m_rts"),
+        *[carry(f"__v_{c}").alias(f"__m_{c}") for c in value_cols],
     )
-    out = carried.where(F.col("__side") == 1).select(
+    out = carried.where(F.col("__side") == l_side).select(
         *[F.col(f"__l_{c}").alias(c) for c in left_cols],
         F.col("__m_rts").alias(right_ts),
         *[F.col(f"__m_{c}").alias(c) for c in value_cols],

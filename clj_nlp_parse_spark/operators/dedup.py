@@ -52,13 +52,19 @@ def norm_text_sql(text: str, d: str) -> str:
 
 
 def word_shingles_sql(words: str, n: int, d: str) -> str:
-    """Distinct n-gram word shingles (space-joined) from a word array."""
+    """Distinct n-gram word shingles (space-joined) from a word array.
+
+    Spark side binds the word array ONCE via the single-element-transform
+    let idiom: referencing {words} inside the per-position lambda would
+    re-evaluate the tokenizer expression per shingle (HOF free-var re-eval
+    — see tag_mentions PERF note; measured 2.5x on the jaccard path)."""
     if d == "spark":
         return (
-            f"array_distinct(CASE WHEN size({words}) >= {n} THEN "
-            f"transform(sequence(1, size({words}) - {n} + 1), "
-            f"i -> array_join(slice({words}, i, {n}), ' ')) "
-            f"ELSE array() END)")
+            f"try_element_at(transform(array({words}), ws -> "
+            f"CASE WHEN size(ws) >= {n} THEN "
+            f"array_distinct(transform(sequence(1, size(ws) - {n} + 1), "
+            f"i -> array_join(slice(ws, i, {n}), ' '))) "
+            f"ELSE array() END), 1)")
     return (
         f"list_distinct(CASE WHEN len({words}) >= {n} THEN "
         f"list_transform(range(1, len({words}) - {n} + 2), "
@@ -239,3 +245,61 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
            .where(F.col("jaccard") >= threshold)
            .select("doc_a", "doc_b", "inter", "jaccard"))
     return out
+
+
+def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5,
+                               id_col: str = "doc_id",
+                               text_col: str = "text", n: int = 3) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via prefix filtering (AllPairs/PPJoin,
+    Bayardo et al. WWW'07) — the 100 TB scale path that `max_df` only
+    approximates.
+
+    Shingles get a global canonical order (document frequency asc, then
+    shingle asc: rarest first). For Jaccard >= t, two sets must share a
+    shingle inside each one's first |s| - ceil(t*|s|) + 1 shingles in that
+    order, so ONLY prefixes are indexed/joined: hot (high-df) shingles sort
+    last and fall out of prefixes, killing the quadratic hot-key blowup
+    structurally instead of by dropping data. Candidates get a length
+    filter (t*|a| <= |b| <= |a|/t) in the join condition, then exact
+    verification by array_intersect on the full shingle sets. Zero false
+    negatives — same result set as the naive inverted-index join, hence the
+    same DuckDB oracle."""
+    t = float(threshold)
+    words = F.expr(dialect.tokens_expr(text_col, "spark"))
+    sh = word_shingles_sql("words", n, "spark")
+    docs = (df.withColumn("words", words)
+            .withColumn("shingles", F.expr(sh))
+            .select(F.col(id_col), "shingles",
+                    F.expr("size(shingles)").alias("nsh")))
+    inv = docs.select(F.col(id_col), "nsh", F.explode("shingles").alias("s"))
+    freq = inv.groupBy("s").agg(F.count("*").alias("df"))
+    invf = inv.join(freq, "s")
+    w = Window.partitionBy(id_col).orderBy("df", "s")
+    pref = (invf.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn")
+                   <= F.col("nsh") - F.ceil(F.col("nsh") * t) + 1)
+            .select(F.col(id_col), "nsh", "s"))
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                   & (F.col(f"b.nsh") * t <= F.col("a.nsh"))
+                   & (F.col(f"a.nsh") * t <= F.col("b.nsh")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"))
+            .distinct())
+    sa = docs.select(F.col(id_col).alias("doc_a"),
+                     F.col("shingles").alias("__sh_a"),
+                     F.col("nsh").alias("__nsh_a"))
+    sb = docs.select(F.col(id_col).alias("doc_b"),
+                     F.col("shingles").alias("__sh_b"),
+                     F.col("nsh").alias("__nsh_b"))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("inter",
+                        F.expr("size(array_intersect(__sh_a, __sh_b))")
+                        .cast("long"))
+            .withColumn("jaccard",
+                        F.col("inter").cast("double")
+                        / (F.col("__nsh_a") + F.col("__nsh_b")
+                           - F.col("inter")).cast("double"))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "inter", "jaccard"))

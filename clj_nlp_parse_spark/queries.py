@@ -217,6 +217,73 @@ register("asof_join_merge", _ASOF_ORACLE)(_q_asof("merge_asof"))
 
 
 @register(
+    "asof_join_forward",
+    """
+    WITH lefts AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_id % 3 <> 0),
+    rights AS (SELECT user_id, ts AS fts, max(value) AS fval
+               FROM events WHERE event_id % 3 = 0 GROUP BY user_id, ts)
+    SELECT l.event_id, l.user_id, epoch_ms(l.ts) AS event_ts_ms,
+           epoch_ms(r.fts) AS feature_ts_ms, r.fval
+    FROM lefts l ASOF LEFT JOIN rights r
+      ON l.user_id = r.user_id AND l.ts <= r.fts
+    ORDER BY l.event_id""",
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward (inclusive) as-of join — earliest feature_ts >= event_ts per
+    entity; the label-join direction of pd.merge_asof. Same one-shuffle
+    union+window shape as backward, with first() over the following frame."""
+    from clj_nlp_parse_spark.operators import asof
+    lefts, rights = _asof_sides(spark, sf_dir)
+    j = asof.asof_join(lefts, rights, on=["user_id"], left_ts="ts",
+                       right_ts="fts", value_cols=["fval"],
+                       direction="forward")
+    return j.select(
+        "event_id", "user_id",
+        F.unix_millis("ts").alias("event_ts_ms"),
+        F.unix_millis("fts").alias("feature_ts_ms"),
+        "fval",
+    ).orderBy("event_id")
+
+
+_ASOF_TOL_MS = 1800 * 1000  # 30 min staleness bound
+
+
+@register(
+    "asof_join_tolerance",
+    f"""
+    WITH lefts AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_id % 3 <> 0),
+    rights AS (SELECT user_id, ts AS fts, max(value) AS fval
+               FROM events WHERE event_id % 3 = 0 GROUP BY user_id, ts),
+    j AS (SELECT l.event_id, l.user_id, l.ts, r.fts, r.fval
+          FROM lefts l ASOF LEFT JOIN rights r
+            ON l.user_id = r.user_id AND l.ts >= r.fts)
+    SELECT event_id, user_id, epoch_ms(ts) AS event_ts_ms,
+      CASE WHEN fts IS NULL OR epoch_ms(ts) - epoch_ms(fts) > {_ASOF_TOL_MS}
+           THEN NULL ELSE epoch_ms(fts) END AS feature_ts_ms,
+      CASE WHEN fts IS NULL OR epoch_ms(ts) - epoch_ms(fts) > {_ASOF_TOL_MS}
+           THEN NULL ELSE fval END AS fval
+    FROM j ORDER BY event_id""",
+)
+def q_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of with a staleness bound (pd.merge_asof tolerance):
+    matches farther than 30 min from the event are nulled — exact, because
+    any other candidate is strictly staler than the latest one."""
+    from clj_nlp_parse_spark.operators import asof
+    lefts, rights = _asof_sides(spark, sf_dir)
+    j = asof.asof_join(lefts, rights, on=["user_id"], left_ts="ts",
+                       right_ts="fts", value_cols=["fval"],
+                       tolerance_ms=_ASOF_TOL_MS)
+    return j.select(
+        "event_id", "user_id",
+        F.unix_millis("ts").alias("event_ts_ms"),
+        F.unix_millis("fts").alias("feature_ts_ms"),
+        "fval",
+    ).orderBy("event_id")
+
+
+@register(
     "lag_lead",
     """
     SELECT event_id, user_id,
@@ -860,6 +927,18 @@ def q_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact for pairs whose intersection survives the cap."""
     return (DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5,
                                    max_df=20)
+            .orderBy("doc_a", "doc_b"))
+
+
+# same result set as jaccard_pairs (prefix filtering is exact) → same oracle
+@register("jaccard_pairs_prefix", ORACLES["jaccard_pairs"])
+def q_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs via prefix filtering (AllPairs/PPJoin) — only
+    each doc's rarest |s|-ceil(t|s|)+1 shingles are indexed/joined, so hot
+    shingles never enter the self-join. Identical output to the naive
+    inverted-index join (zero false negatives), verified by the same
+    DuckDB oracle."""
+    return (DD.ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), threshold=0.5)
             .orderBy("doc_a", "doc_b"))
 
 

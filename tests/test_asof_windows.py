@@ -138,3 +138,34 @@ def test_asof_split_small_goldens(spark):
                          strategy="union_window_split")
     got = {r.event_id: (r.feature_ts, r.fval) for r in out.collect()}
     assert got == _expected()
+
+
+def test_asof_forward_semantics(spark):
+    left, right = _sides(spark)
+    out = asof.asof_join(left, right, on=["entity_id"], direction="forward")
+    got = {r.event_id: (r.feature_ts, r.fval) for r in out.collect()}
+    assert got == {
+        1: (_t("2025-01-01T10:00:00"), 1.0),  # inclusive exact match
+        2: (_t("2025-01-01T23:00:00"), 9.0),  # earliest ts >= event
+        3: (_t("2025-01-01T10:00:00"), 1.0),
+        4: (None, None),                      # all features earlier
+        5: (None, None),
+    }
+    # forward never matches earlier features
+    rows = out.where("feature_ts IS NOT NULL").collect()
+    assert all(r.feature_ts >= r.event_ts for r in rows)
+
+
+def test_asof_tolerance_nulls_stale(spark):
+    left, right = _sides(spark)
+    out = asof.asof_join(left, right, on=["entity_id"],
+                         tolerance_ms=45 * 60 * 1000)  # 45 min
+    got = {r.event_id: (r.feature_ts, r.fval) for r in out.collect()}
+    assert got == {
+        1: (_t("2025-01-01T10:00:00"), 1.0),  # 0 min stale → kept
+        2: (_t("2025-01-01T10:30:00"), 2.0),  # 30 min stale → kept
+        3: (None, None),
+        4: (None, None),                      # 11 h stale → nulled
+        5: (None, None),
+    }
+    assert asof.audit_leakage(out) == 0

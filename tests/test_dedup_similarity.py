@@ -145,3 +145,28 @@ def test_ivf_cell_assignment_deterministic(spark):
     b = {r.vec_id: r.c for r in many}
     assert a == b
     assert set(a.values()) <= set(range(1, 5))
+
+
+def test_jaccard_prefix_equals_naive(spark):
+    # prefix filtering must be EXACT: same pairs + same scores as the naive
+    # inverted-index join, including boundary-threshold pairs
+    import random
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    base = [rnd.choice(vocab) for _ in range(30)]
+    for i in range(60):
+        doc = list(base)
+        for _ in range(i % 7):  # increasing mutation
+            doc[rnd.randrange(len(doc))] = rnd.choice(vocab)
+        rows.append((i, " ".join(doc)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    naive = {(r.doc_a, r.doc_b): (r.inter, r.jaccard)
+             for r in DD.ngram_jaccard_pairs(df, threshold=0.5).collect()}
+    pref = {(r.doc_a, r.doc_b): (r.inter, r.jaccard)
+            for r in DD.ngram_jaccard_pairs_prefix(df, threshold=0.5).collect()}
+    assert naive.keys() == pref.keys()
+    for k in naive:
+        assert naive[k][0] == pref[k][0]
+        assert np.isclose(naive[k][1], pref[k][1])
+    assert len(naive) > 0  # the fixture actually produces near-dups
