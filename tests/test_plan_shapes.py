@@ -88,3 +88,42 @@ def test_image_features_drop_bytes_before_any_exchange(spark):
     # binary column is inside the mapInPandas stage feeding it
     exchange_at = plan.index("Exchange")
     assert "bytes" not in plan[:exchange_at]
+
+
+def test_ivf_topk_broadcast_probe_no_cartesian(spark, sf_dir):
+    from clj_nlp_parse_spark.operators import similarity as SIM
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    plan = _plan(SIM.ivf_topk(emb, q, k=5, dim=64, n_cells=8, nprobe=2))
+    # probe is an equi-join on the cell id with the tiny query side broadcast
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # quantization is pure codegen — no Python stage anywhere
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+
+
+def test_jaccard_prefix_no_cartesian_all_equijoins(spark, sf_dir):
+    from clj_nlp_parse_spark.operators.dedup import ngram_jaccard_pairs_prefix
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs_prefix(docs, threshold=0.5))
+    # candidate generation joins prefixes on the shingle — never a cross join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+
+
+def test_asof_forward_single_shuffle_no_python(spark):
+    import datetime as dt
+    from clj_nlp_parse_spark.operators import asof
+    l = spark.createDataFrame(
+        [(1, "a", dt.datetime(2025, 1, 1))],
+        "event_id long, entity_id string, event_ts timestamp")
+    r = spark.createDataFrame(
+        [("a", dt.datetime(2025, 1, 1), 1.0)],
+        "entity_id string, feature_ts timestamp, fval double")
+    plan = _plan(asof.asof_join(l, r, ["entity_id"], direction="forward",
+                                tolerance_ms=60000))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "ArrowEval" not in plan and "FlatMapCoGroups" not in plan
