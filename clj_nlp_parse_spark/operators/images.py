@@ -107,3 +107,91 @@ def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
     return arr[ys][:, xs]
+
+
+# ------------------------------------------------------------ video / audio
+# Same design contract as images: opaque binary column + typed metadata,
+# one Arrow stage decode → features → drop bytes; 'raw*'/pcm16 paths fully
+# real (schema, partitioning, UDF signature, batch shape all exercised),
+# real codecs stubbed behind NotImplementedError (libs absent in container).
+VIDEO_FRAME_FIELDS = (
+    "video_id string, frame_idx int, ts_ms long, "
+    "px_mean double, px_std double")
+
+
+def decode_video(b: bytes, w: int, h: int, n_frames: int,
+                 fmt: str) -> np.ndarray:
+    """bytes → (n_frames, h, w, 3) uint8. Real for rawvid; stubbed codecs."""
+    if fmt == "rawvid":
+        return np.frombuffer(b, dtype=np.uint8).reshape(n_frames, h, w, 3)
+    if fmt in ("mp4", "webm", "avi"):
+        raise NotImplementedError(
+            f"codec '{fmt}' requires a video library not present "
+            f"in this container")
+    raise NotImplementedError(f"unknown video format: {fmt}")
+
+
+def sample_video_frames(df: DataFrame, every_k: int = 10) -> DataFrame:
+    """Frame-sample operator: decode → keep every k-th frame → per-frame
+    stats; bytes dropped inside the stage. Input columns:
+    (video_id, bytes, w, h, n_frames, fps, fmt)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("video_id", "frame_idx", "ts_ms",
+                                   "px_mean", "px_std")}
+            for r in pdf.itertuples(index=False):
+                vid = decode_video(r.bytes, r.w, r.h, r.n_frames, r.fmt)
+                for i in range(0, r.n_frames, every_k):
+                    f = vid[i].astype(np.float64)
+                    out["video_id"].append(r.video_id)
+                    out["frame_idx"].append(i)
+                    out["ts_ms"].append(int(i * 1000 / r.fps))
+                    out["px_mean"].append(float(f.mean()))
+                    out["px_std"].append(float(f.std()))
+            yield pd.DataFrame(out)
+
+    cols = ["video_id", "bytes", "w", "h", "n_frames", "fps", "fmt"]
+    return df.select(*cols).mapInPandas(run, schema=VIDEO_FRAME_FIELDS)
+
+
+AUDIO_FEATURES_FIELDS = (
+    "audio_id string, duration_s double, rms double, peak double, "
+    "zero_crossing_rate double")
+
+
+def decode_audio(b: bytes, fmt: str) -> np.ndarray:
+    """bytes → float64 samples in [-1, 1]. Real for pcm16; stubbed codecs."""
+    if fmt == "pcm16":
+        return np.frombuffer(b, dtype="<i2").astype(np.float64) / 32768.0
+    if fmt in ("mp3", "ogg", "flac", "wav"):
+        raise NotImplementedError(
+            f"codec '{fmt}' requires an audio library not present "
+            f"in this container")
+    raise NotImplementedError(f"unknown audio format: {fmt}")
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Audio feature-extract: decode → duration/RMS/peak/ZCR → drop bytes.
+    Input columns: (audio_id, bytes, sr, fmt)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("audio_id", "duration_s", "rms", "peak",
+                                   "zero_crossing_rate")}
+            for r in pdf.itertuples(index=False):
+                x = decode_audio(r.bytes, r.fmt)
+                out["audio_id"].append(r.audio_id)
+                out["duration_s"].append(len(x) / r.sr)
+                out["rms"].append(float(np.sqrt(np.mean(x * x)))
+                                  if len(x) else 0.0)
+                out["peak"].append(float(np.abs(x).max()) if len(x) else 0.0)
+                zc = float(np.mean(np.abs(np.diff(np.signbit(x))))) \
+                    if len(x) > 1 else 0.0
+                out["zero_crossing_rate"].append(zc)
+            yield pd.DataFrame(out)
+
+    return df.select("audio_id", "bytes", "sr", "fmt") \
+             .mapInPandas(run, schema=AUDIO_FEATURES_FIELDS)

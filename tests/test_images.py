@@ -88,3 +88,46 @@ def test_resize_nearest_shape():
     arr = synth.make_image(rng, 33, 21)
     out = images.resize_nearest(arr, 16, 16)
     assert out.shape == (16, 16, 3)
+
+
+def test_video_frame_sampling(spark):
+    # raw video: deterministic bytes, every_k sampling, ts from fps
+    rng = np.random.default_rng(11)
+    w, h, n_frames, fps = 8, 6, 25, 5
+    vid = rng.integers(0, 256, size=(n_frames, h, w, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("v1", bytes(vid.tobytes()), w, h, n_frames, fps, "rawvid")],
+        "video_id string, bytes binary, w int, h int, n_frames int, "
+        "fps int, fmt string")
+    rows = sorted(images.sample_video_frames(df, every_k=10).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in rows] == [0, 10, 20]
+    assert [r.ts_ms for r in rows] == [0, 2000, 4000]
+    for r in rows:
+        f = vid[r.frame_idx].astype(np.float64)
+        assert np.isclose(r.px_mean, f.mean())
+        assert np.isclose(r.px_std, f.std())
+
+
+def test_video_codec_stubbed(spark):
+    df = spark.createDataFrame(
+        [("v1", b"\x00\x00", 8, 6, 2, 5, "mp4")],
+        "video_id string, bytes binary, w int, h int, n_frames int, "
+        "fps int, fmt string")
+    with pytest.raises(Exception, match="NotImplementedError|video library"):
+        images.sample_video_frames(df).collect()
+
+
+def test_audio_features_pcm16(spark):
+    sr = 8000
+    t = np.arange(sr)  # 1 second
+    x = (0.5 * np.sin(2 * np.pi * 440 * t / sr) * 32767).astype("<i2")
+    df = spark.createDataFrame(
+        [("a1", bytes(x.tobytes()), sr, "pcm16")],
+        "audio_id string, bytes binary, sr int, fmt string")
+    r = images.extract_audio_features(df).collect()[0]
+    assert np.isclose(r.duration_s, 1.0)
+    assert np.isclose(r.rms, 0.5 / np.sqrt(2), atol=1e-3)
+    assert np.isclose(r.peak, 0.5, atol=1e-3)
+    # 440 Hz sine: ~880 sign flips/s → ZCR ~ 880/8000
+    assert np.isclose(r.zero_crossing_rate, 880 / sr, atol=1e-3)
