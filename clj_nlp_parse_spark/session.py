@@ -37,7 +37,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuf))
         # Arrow for every pandas UDF / applyInPandas crossing.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow batch size bounds JVM-side bytes in flight per task. Image
+        # rows are ~27 KB (bytes column): 10k-row batches × 32 tasks would
+        # hold >8 GB in flight and turn the job into a GC benchmark; 2048
+        # keeps ~55 MB/task while still amortizing the Python call.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "2048"))
         # Nested-schema pruning: the engine's panon struct columns benefit.
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -65,10 +65,83 @@ def streaming_caption_features(stream: DataFrame,
     )
 
 
+def streaming_asof_carry(stream: DataFrame,
+                         entity: str = "entity_id",
+                         ts: str = "ts",
+                         side: str = "side",
+                         value: str = "fval") -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState — the
+    SURVEY.md §2.8 extension point): streaming point-in-time feature
+    materialization.
+
+    Input is the UNIONED stream of feature rows (side='feature', carrying
+    `value`) and event rows (side='event') — the streaming form of the
+    batch union_window as-of (operators/asof.py). Per entity, GroupState
+    holds the latest (feature_ts, value) seen; each micro-batch is sorted
+    by (ts, side-tag) in pandas (features before events at equal ts →
+    inclusive), events emit the carried feature, and the state persists
+    across batches/restarts via the checkpoint. Exact when features are
+    not late relative to the events they serve (the standard feed order);
+    late features would need a watermark-buffered variant.
+
+    Output: one row per event — (entity, event_ts, feature_ts, value).
+    """
+    import pandas as pd
+
+    out_schema = (f"{entity} string, event_ts timestamp, "
+                  f"feature_ts timestamp, {value} double")
+    state_schema = "fts_ms long, fval double"
+
+    def carry(key, pdfs, state):
+        from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401
+        if state.exists:
+            fts_ms, fval = state.get
+        else:
+            fts_ms, fval = None, None
+        rows = {entity: [], "event_ts": [], "feature_ts": [], value: []}
+        for pdf in pdfs:
+            pdf = pdf.copy()
+            pdf["__tag"] = (pdf[side] != "feature").astype(int)
+            pdf = pdf.sort_values([ts, "__tag"], kind="mergesort")
+            for r in pdf.itertuples(index=False):
+                t = getattr(r, ts)
+                if getattr(r, side) == "feature":
+                    fts_ms = int(t.value // 10**6)  # ns → ms
+                    fval = float(getattr(r, value))
+                else:
+                    rows[entity].append(key[0])
+                    rows["event_ts"].append(t)
+                    rows["feature_ts"].append(
+                        pd.Timestamp(fts_ms, unit="ms")
+                        if fts_ms is not None else pd.NaT)
+                    rows[value].append(fval)
+        state.update((fts_ms, fval))
+        yield pd.DataFrame(rows)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return (stream.groupBy(entity)
+            .applyInPandasWithState(
+                carry, outputStructType=out_schema,
+                stateStructType=state_schema, outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def run_available_now(sdf: DataFrame, query_name: str,
                       output_mode: str = "append") -> None:
     """Drain all currently-available input into the memory sink."""
     q = (sdf.writeStream.format("memory").queryName(query_name)
          .outputMode(output_mode)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def run_available_now_to_parquet(sdf: DataFrame, out_path: str,
+                                 checkpoint: str) -> None:
+    """Drain to a parquet sink with a checkpoint — the resumable form
+    (the memory sink cannot recover from a checkpoint location)."""
+    q = (sdf.writeStream.format("parquet")
+         .option("path", out_path)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("append")
          .trigger(availableNow=True).start())
     q.awaitTermination()

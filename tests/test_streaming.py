@@ -72,3 +72,46 @@ def test_streaming_caption_features_match_batch(spark, tmp_path):
     want = {r.image_id: (r.pos_tag_count_noun, r.pos_tag_count_verb)
             for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_asof_carry_stateful(spark, tmp_path):
+    # unified feature+event stream; state carries the latest feature across
+    # micro-batches AND across query restarts (checkpointed GroupState)
+    schema = "entity_id string, ts timestamp, side string, fval double"
+    batch1 = spark.createDataFrame([
+        ("a", _t("2025-01-01T10:00:00"), "feature", 1.0),
+        ("a", _t("2025-01-01T10:00:00"), "event", None),   # tie → inclusive
+        ("a", _t("2025-01-01T10:30:00"), "event", None),
+        ("b", _t("2025-01-01T10:00:00"), "event", None),   # no feature yet
+    ], schema)
+    p = str(tmp_path / "carry_in")
+    ckpt = str(tmp_path / "carry_ckpt")
+    sink = str(tmp_path / "carry_out")
+    batch1.coalesce(1).write.mode("append").parquet(p)
+    sdf = spark.readStream.schema(batch1.schema).parquet(p)
+    out = ST.streaming_asof_carry(sdf)
+    ST.run_available_now_to_parquet(out, sink, ckpt)
+    got = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+           for r in spark.read.parquet(sink).collect()}
+    assert got[("a", _t("2025-01-01T10:00:00"))] == \
+        (_t("2025-01-01T10:00:00"), 1.0)
+    assert got[("a", _t("2025-01-01T10:30:00"))] == \
+        (_t("2025-01-01T10:00:00"), 1.0)
+    assert got[("b", _t("2025-01-01T10:00:00"))] == (None, None)
+
+    # restart with new events only: entity a's feature must come FROM STATE
+    batch2 = spark.createDataFrame([
+        ("a", _t("2025-01-01T11:00:00"), "event", None),
+        ("b", _t("2025-01-01T11:00:00"), "feature", 7.0),
+        ("b", _t("2025-01-01T11:30:00"), "event", None),
+    ], schema)
+    batch2.coalesce(1).write.mode("append").parquet(p)
+    sdf2 = spark.readStream.schema(batch1.schema).parquet(p)
+    out2 = ST.streaming_asof_carry(sdf2)
+    ST.run_available_now_to_parquet(out2, sink, ckpt)
+    got2 = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+            for r in spark.read.parquet(sink).collect()}
+    assert got2[("a", _t("2025-01-01T11:00:00"))] == \
+        (_t("2025-01-01T10:00:00"), 1.0)   # carried from checkpointed state
+    assert got2[("b", _t("2025-01-01T11:30:00"))] == \
+        (_t("2025-01-01T11:00:00"), 7.0)
