@@ -34,15 +34,17 @@ _STOP = frozenset(schema.STOPWORDS)
 
 def parse_document(text: str, compiled: list[CompiledItem] | None = None) -> dict:
     """Pure-Python single-document parse → panon dict (PANON_STRUCT shape)."""
-    # sentence spans over the raw text
+    # sentence spans over the raw text; a sentence must contain >= 1 token
+    # (punct-only segments are not sentences — same contract as
+    # features.sentence_words_sql in both SQL dialects)
     spans = []
     start = 0
     for m in _SENT_BOUND.finditer(text):
         seg = text[start:m.end()]
-        if seg.strip():
+        if dialect.TOKEN_RE_PY.search(seg.lower()):
             spans.append((start, m.end()))
         start = m.end()
-    if text[start:].strip():
+    if dialect.TOKEN_RE_PY.search(text[start:].lower()):
         spans.append((start, len(text)))
     low = text.lower()
     sents = []

@@ -117,6 +117,22 @@ NEGATIVE_WORDS = (
 )
 
 
+def sentence_words_sql(text_col: str, dialect_name: str = "spark") -> str:
+    """Per-sentence word arrays, dialect-common. A sentence is a [.!?]+
+    -delimited segment containing AT LEAST ONE TOKEN — punctuation-only
+    segments are not sentences (the empty word array made the two SQL
+    dialects disagree on segment membership; filtering on the token count
+    is the contract all three renderers share, incl. the Python parser)."""
+    if dialect_name == "spark":
+        return (f"filter(transform(split({text_col}, '[.!?]+'), s -> "
+                f"regexp_extract_all(lower(s), '([a-z0-9'']+)', 1)), "
+                f"ws -> size(ws) > 0)")
+    return (f"list_filter(list_transform("
+            f"string_split_regex({text_col}, '[.!?]+'), s -> "
+            f"regexp_extract_all(lower(s), '[a-z0-9'']+')), "
+            f"ws -> len(ws) > 0)")
+
+
 def sentence_sentiment_sql(words: str, dialect_name: str = "spark") -> str:
     """Clamp(sum(+1/-1 lexicon hits), -2, 2) over one sentence's words —
     dialect-common SQL."""
@@ -142,11 +158,7 @@ def sentiment_features(df: DataFrame, id_col: str = "doc_id",
 
     Sentences are split on [.!?]+ — same regex as the oracle.
     """
-    sent_words = (
-        f"transform(filter(split({text_col}, '[.!?]+'), s -> "
-        f"length(trim(s)) > 0), s -> "
-        f"regexp_extract_all(lower(s), '([a-z0-9'']+)', 1))"
-    )
+    sent_words = sentence_words_sql(text_col, "spark")
     score = sentence_sentiment_sql("ws", "spark")
     scored = df.withColumn(
         "sent_scores",
@@ -178,11 +190,7 @@ def tree_features(df: DataFrame, id_col: str = "doc_id",
     of the sentence's canonical token/tag sequence (the engine's replacement
     for summed JVM .hashCode of dep trees, feature/lang.clj:123-137)."""
     from clj_nlp_parse_spark import dialect as dlect
-    sent_words = (
-        f"transform(filter(split({text_col}, '[.!?]+'), s -> "
-        f"length(trim(s)) > 0), s -> "
-        f"regexp_extract_all(lower(s), '([a-z0-9'']+)', 1))"
-    )
+    sent_words = sentence_words_sql(text_col, "spark")
     h = dlect.hash32_expr("array_join(ws, ' ')", "spark")
     return df.select(
         F.col(id_col),

@@ -99,11 +99,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.token_features(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
-_SENT_WORDS_DUCK = (
-    "list_transform(list_filter(string_split_regex(text, '[.!?]+'), "
-    "s -> length(trim(s)) > 0), s -> "
-    "regexp_extract_all(lower(s), '[a-z0-9'']+'))"
-)
+_SENT_WORDS_DUCK = features.sentence_words_sql("text", "duck")
 _SC = features.sentence_sentiment_sql("ws", "duck")
 
 
@@ -950,7 +946,8 @@ def q_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
       toks[1].word AS first_word,
       toks[3].pos_tag AS third_tag,
       toks[-1].word AS last_word,
-      array_to_string(list_slice(words, 2, 4), ' ') AS slice_2_4
+      coalesce(array_to_string(list_slice(words, 2, 4), ' '), '')
+        AS slice_2_4
     FROM tk ORDER BY doc_id""",
 )
 def q_token_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
