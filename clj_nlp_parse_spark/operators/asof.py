@@ -62,9 +62,13 @@ def asof_join(
         c for c in right.columns if c not in on and c != right_ts]
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown asof direction: {direction}")
-    if direction == "forward" and strategy != "union_window":
+    if direction == "forward" and strategy not in ("union_window", "auto"):
         raise ValueError("direction='forward' is implemented for the "
                          "union_window strategy")
+    if strategy == "auto":
+        strategy = choose_asof_strategy(left, on)
+        if direction == "forward":
+            strategy = "union_window"
     if strategy == "union_window":
         out = _asof_union_window(left, right, on, left_ts, right_ts,
                                  value_cols, direction)
@@ -89,6 +93,27 @@ def asof_join(
             *[F.when(bad, F.lit(None)).otherwise(F.col(c)).alias(c)
               for c in value_cols])
     return out
+
+
+def choose_asof_strategy(left, on, hot_rows_threshold: int = 4_000_000,
+                         sample_rows: int = 2_000_000) -> str:
+    """Pick union_window vs union_window_split from a SAMPLED key histogram
+    of the left side (measured crossover in BENCH.md: a single window
+    partition sorting >~4M rows becomes the straggler; below that the
+    split's seed/carry pre-pass costs more than it saves).
+
+    Two cheap driver jobs (count + sampled groupBy max) — negligible next
+    to the join itself at the scales where the answer matters."""
+    total = left.count()
+    if total <= hot_rows_threshold:
+        return "union_window"
+    frac = min(1.0, sample_rows / total)
+    row = (left.sample(fraction=frac, seed=42)
+           .groupBy(*on).count()
+           .agg(F.max("count").alias("m")).collect()[0])
+    hot_est = (row["m"] or 0) / frac
+    return ("union_window_split" if hot_est > hot_rows_threshold
+            else "union_window")
 
 
 def _asof_union_window(left, right, on, left_ts, right_ts, value_cols,

@@ -169,3 +169,22 @@ def test_asof_tolerance_nulls_stale(spark):
         5: (None, None),
     }
     assert asof.audit_leakage(out) == 0
+
+
+def test_asof_auto_strategy(spark):
+    # small/uniform input → plain window; hot-key input past the threshold →
+    # split. Output equals the explicit strategies either way.
+    from pyspark.sql import functions as F2
+    left, right = _sides(spark)
+    assert asof.choose_asof_strategy(left, ["entity_id"]) == "union_window"
+    out = asof.asof_join(left, right, on=["entity_id"], strategy="auto")
+    got = {r.event_id: (r.feature_ts, r.fval) for r in out.collect()}
+    assert got == _expected()
+
+    hot = spark.range(2000).select(
+        F2.lit("hot").alias("entity_id"), F2.col("id").alias("event_id"),
+        F2.timestamp_millis((F2.lit(1700000000000)
+                             + F2.col("id") * 1000).cast("long"))
+        .alias("event_ts"))
+    assert asof.choose_asof_strategy(
+        hot, ["entity_id"], hot_rows_threshold=500) == "union_window_split"
