@@ -89,3 +89,60 @@ def test_doc_query_fragments_on_degenerate_docs(spark, monkeypatch):
                 assert (a.astype(object).where(pd.notna(a), None).tolist()
                         == b.astype(object).where(pd.notna(b), None)
                         .tolist()), (name, c)
+
+
+def test_dictionary_mentions_fuzz_three_way(spark):
+    """Random dictionaries (multi-token phrases, det-chop, lemma-match)
+    over random docs: Catalyst tag_mentions, the DuckDB rendering of the
+    same compiled items, and the Python full parser must emit identical
+    (doc, item, tok_beg, tok_end) mention sets."""
+    import pandas as pd
+    from clj_nlp_parse_spark import dialect
+    from clj_nlp_parse_spark.functions.parse import parse_document
+    from clj_nlp_parse_spark.operators import dictionary as D
+
+    rnd = random.Random(31)
+    vocab = ["scan", "join", "the", "merge", "sort", "dups", "dup",
+             "tables", "table", "a", "fast", "lines", "line"]
+    docs = []
+    for i in range(80):
+        words = [rnd.choice(vocab) for _ in range(rnd.randint(0, 14))]
+        docs.append((i, " ".join(words)))
+    items = []
+    for j in range(12):
+        k = rnd.randint(1, 3)
+        phrase = " ".join(rnd.choice(vocab) for _ in range(k))
+        items.append(D.DictItem(
+            j + 1, phrase, f"L{j}",
+            lem_min_len=0 if rnd.random() < 0.3 else -1,
+            first_det_chop=rnd.random() < 0.7))
+    compiled = D.compile_items(items)
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    srows = D.tag_mentions(sdf, items).select(
+        "doc_id", F.explode("tok_re_mentions").alias("m")).collect()
+    got_spark = {(r.doc_id, r.m.item_id, r.m.tok_beg, r.m.tok_end)
+                 for r in srows}
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    w = dialect.tokens_expr("text", "duck")
+    lem = dialect.lemma_case_expr("t", "duck")
+    m = D.mentions_sql(compiled, "words", "lemmas", "duck")
+    drows = con.sql(
+        f"WITH w AS (SELECT doc_id, {w} AS words FROM documents), "
+        f"l AS (SELECT doc_id, words, "
+        f"list_transform(words, t -> ({lem})) AS lemmas FROM w) "
+        f"SELECT doc_id, unnest({m}) AS m FROM l").fetchall()
+    got_duck = {(d, mm["item_id"], mm["tok_beg"], mm["tok_end"])
+                for d, mm in drows}
+
+    got_py = set()
+    for i, text in docs:
+        pan = parse_document(text, compiled)
+        for mm in pan["tok_re_mentions"]:
+            got_py.add((i, mm["item_id"], mm["tok_beg"], mm["tok_end"]))
+
+    assert got_spark == got_duck
+    assert got_spark == got_py
+    assert len(got_spark) > 20  # fixture actually produces matches
