@@ -115,3 +115,42 @@ def test_streaming_asof_carry_stateful(spark, tmp_path):
         (_t("2025-01-01T10:00:00"), 1.0)   # carried from checkpointed state
     assert got2[("b", _t("2025-01-01T11:30:00"))] == \
         (_t("2025-01-01T11:00:00"), 7.0)
+
+
+def test_streaming_carry_equals_batch_asof(spark, tmp_path):
+    # the streaming stateful carry and the batch union_window as-of must
+    # produce the same (entity, event_ts) -> (feature_ts, value) mapping
+    import random
+    from clj_nlp_parse_spark.operators import asof
+    rnd = random.Random(5)
+    feats, evs, uni = [], [], []
+    for e in ["a", "b", "c"]:
+        t = 0
+        for i in range(30):
+            t += rnd.randint(1, 900)
+            ts = _t("2025-01-01T00:00:00") + dt.timedelta(seconds=t)
+            if rnd.random() < 0.4:
+                v = float(rnd.randint(0, 99))
+                feats.append((e, ts, v))
+                uni.append((e, ts, "feature", v))
+            else:
+                evs.append((e, ts))
+                uni.append((e, ts, "event", None))
+    lefts = spark.createDataFrame(evs, "entity_id string, event_ts timestamp")
+    rights = spark.createDataFrame(
+        feats, "entity_id string, feature_ts timestamp, fval double")
+    batch = asof.asof_join(lefts, rights, on=["entity_id"])
+    want = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+            for r in batch.collect()}
+
+    udf_ = spark.createDataFrame(
+        uni, "entity_id string, ts timestamp, side string, fval double")
+    p = str(tmp_path / "uni_in")
+    udf_.coalesce(1).write.mode("overwrite").parquet(p)
+    sdf = spark.readStream.schema(udf_.schema).parquet(p)
+    sink = str(tmp_path / "uni_out")
+    ST.run_available_now_to_parquet(
+        ST.streaming_asof_carry(sdf), sink, str(tmp_path / "uni_ckpt"))
+    got = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+           for r in spark.read.parquet(sink).collect()}
+    assert got == want
