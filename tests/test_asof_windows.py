@@ -188,3 +188,48 @@ def test_asof_auto_strategy(spark):
         .alias("event_ts"))
     assert asof.choose_asof_strategy(
         hot, ["entity_id"], hot_rows_threshold=500) == "union_window_split"
+
+
+def test_asof_vs_pandas_merge_asof_randomized(spark):
+    # independent third oracle: pandas merge_asof (backward inclusive,
+    # by=entity) on 150 random timelines with ties, empty sides, and
+    # feature-less entities
+    import random
+    import pandas as pd
+    rnd = random.Random(77)
+    lefts, rights = [], []
+    base = dt.datetime(2025, 1, 1)
+    for e in range(150):
+        eid = f"e{e}"
+        seen = set()
+        for _ in range(rnd.randint(0, 8)):
+            ts = base + dt.timedelta(seconds=rnd.randint(0, 5000))
+            lefts.append((eid, ts, rnd.randint(0, 10**6)))
+        for _ in range(rnd.randint(0, 6)):
+            ts = base + dt.timedelta(seconds=rnd.choice(
+                [rnd.randint(0, 5000), 0, 5000]))
+            if (eid, ts) in seen:    # rights unique per (key, ts)
+                continue
+            seen.add((eid, ts))
+            rights.append((eid, ts, float(rnd.randint(0, 999))))
+    ldf = spark.createDataFrame(
+        lefts, "entity_id string, event_ts timestamp, event_id long")
+    rdf = spark.createDataFrame(
+        rights, "entity_id string, feature_ts timestamp, fval double")
+    for strategy in ("union_window", "union_window_split", "merge_asof"):
+        out = asof.asof_join(ldf, rdf, on=["entity_id"], strategy=strategy)
+        got = {(r.entity_id, r.event_ts, r.event_id): (r.feature_ts, r.fval)
+               for r in out.collect()}
+        lp = pd.DataFrame(lefts, columns=["entity_id", "event_ts", "event_id"]) \
+            .sort_values("event_ts", kind="mergesort")
+        rp = pd.DataFrame(rights, columns=["entity_id", "feature_ts", "fval"]) \
+            .sort_values("feature_ts", kind="mergesort")
+        m = pd.merge_asof(lp, rp, left_on="event_ts", right_on="feature_ts",
+                          by="entity_id", direction="backward",
+                          allow_exact_matches=True)
+        want = {}
+        for r in m.itertuples(index=False):
+            ft = None if pd.isna(r.feature_ts) else r.feature_ts.to_pydatetime()
+            fv = None if pd.isna(r.fval) else r.fval
+            want[(r.entity_id, r.event_ts.to_pydatetime(), r.event_id)] = (ft, fv)
+        assert got == want, strategy
