@@ -100,3 +100,35 @@ def text_stats(df: DataFrame, id_col: str = "doc_id",
     cols += [F.expr(v).alias(k) for k, v in tc.items()]
     cols += [F.expr(v).alias(k) for k, v in fp.items()]
     return d.select(F.col(id_col), *cols)
+
+
+def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """TF-IDF top-k terms per document (training-pipeline feature).
+
+    tf = term occurrences in the doc; idf = ln(N / df) with df = number of
+    docs containing the term. Deterministic tiebreak (score desc, word asc).
+    Shape: explode → two hash aggs (partial+final, Catalyst-native) → one
+    broadcast-joined scalar N → window top-k on the doc key. At corpus
+    scale the (word) agg is the only wide shuffle and it is combiner-
+    friendly; no Python anywhere.
+    """
+    from pyspark.sql import Window
+    words = F.expr(dialect.tokens_expr(text_col, "spark"))
+    tok = df.select(F.col(id_col), F.explode(words).alias("w"))
+    tf = tok.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n"))
+    scored = (tf.join(dfreq, "w")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("tfidf",
+                          F.col("tf").cast("double")
+                          * F.log(F.col("n").cast("double")
+                                  / F.col("df").cast("double"))))
+    win = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("w"))
+    return (scored.withColumn("rank", F.row_number().over(win))
+            .where(F.col("rank") <= k)
+            .select(id_col, F.col("w").alias("word"), "tf",
+                    F.col("df").cast("long").alias("df"), "tfidf",
+                    F.col("rank").cast("int").alias("rank")))

@@ -630,6 +630,30 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+@register(
+    "tfidf_top_terms",
+    _WD_CTE + """
+    , tok AS (SELECT doc_id, unnest(words) AS w FROM wd)
+    , tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2)
+    , dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1)
+    , nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+    , scored AS (SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+                   CAST(tf.tf AS DOUBLE) *
+                   ln(CAST(nd.n AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS tfidf
+                 FROM tf JOIN dfq ON tf.w = dfq.w CROSS JOIN nd)
+    SELECT doc_id, w AS word, tf, CAST(df AS BIGINT) AS df, tfidf,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, w ASC) AS rank FROM scored)
+    WHERE rank <= 3 ORDER BY doc_id, rank""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per doc (training-pipeline text feature):
+    two combiner-friendly hash aggs + broadcast N + doc-window top-k."""
+    return TS.tfidf_top_terms(_docs(spark, sf_dir), k=3) \
+             .orderBy("doc_id", "rank")
+
+
 # ------------------------------------------- image pipeline (rows-only check)
 @register("image_feature_materialization")  # no SQL oracle: binary decode
 def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
