@@ -102,11 +102,15 @@ def _regex_cond(t: str, pattern: str, dialect: str) -> str:
 
 def tokens_expr(text_col: str, dialect: str) -> str:
     """Array of lowercase word tokens from a text column; identical output
-    in Spark SQL and DuckDB."""
+    in Spark SQL and DuckDB. NULL text ≡ empty text (the reference drops
+    nil fields; a production caption column may be NULL) — coalesced HERE
+    so every downstream zero-fill contract applies uniformly."""
     re_sql = TOKEN_RE.replace("'", "''")
     if dialect == "spark":
-        return f"regexp_extract_all(lower({text_col}), '({re_sql})', 1)"
-    return f"regexp_extract_all(lower({text_col}), '{re_sql}')"
+        return (f"regexp_extract_all(lower(coalesce({text_col}, '')), "
+                f"'({re_sql})', 1)")
+    return (f"regexp_extract_all(lower(coalesce({text_col}, '')), "
+            f"'{re_sql}')")
 
 
 def pos_case_expr(t: str, dialect: str) -> str:

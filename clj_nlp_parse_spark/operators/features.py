@@ -132,11 +132,12 @@ def sentence_words_sql(text_col: str, dialect_name: str = "spark") -> str:
     dialects disagree on segment membership; filtering on the token count
     is the contract all three renderers share, incl. the Python parser)."""
     if dialect_name == "spark":
-        return (f"filter(transform(split({text_col}, '[.!?]+'), s -> "
+        return (f"filter(transform(split(coalesce({text_col}, ''), "
+                f"'[.!?]+'), s -> "
                 f"regexp_extract_all(lower(s), '([a-z0-9'']+)', 1)), "
                 f"ws -> size(ws) > 0)")
     return (f"list_filter(list_transform("
-            f"string_split_regex({text_col}, '[.!?]+'), s -> "
+            f"string_split_regex(coalesce({text_col}, ''), '[.!?]+'), s -> "
             f"regexp_extract_all(lower(s), '[a-z0-9'']+')), "
             f"ws -> len(ws) > 0)")
 

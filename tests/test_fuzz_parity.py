@@ -63,6 +63,7 @@ def test_doc_query_fragments_on_degenerate_docs(spark, monkeypatch):
         (4, ("z" * 80 + " ") * 3, "xx"),
         (5, "the the the. and? AND!", "en"),
         (6, "it's don't o'clock 'quoted'", "en"),
+        (7, None, "en"),
     ]
     sdf = spark.createDataFrame(docs, "doc_id long, text string, lang string")
     monkeypatch.setattr(Q, "_docs", lambda _s, _d: sdf)
