@@ -23,7 +23,7 @@ IMAGE_FEATURES_FIELDS = (
     "image_id string, entity_id string, feature_ts timestamp, "
     "phash long, phash_bucket long, "
     "px_mean_r double, px_mean_g double, px_mean_b double, "
-    "px_std double, sharpness double")
+    "px_std double, sharpness double, decode_ok boolean")
 
 
 def decode_image(b: bytes, w: int, h: int, fmt: str) -> np.ndarray:
@@ -62,9 +62,15 @@ def _stats_one(arr: np.ndarray) -> tuple:
     return float(means[0]), float(means[1]), float(means[2]), std, sharp
 
 
-def extract_image_features(df: DataFrame, buckets: int = 64) -> DataFrame:
+def extract_image_features(df: DataFrame, buckets: int = 64,
+                           on_error: str = "null") -> DataFrame:
     """One Arrow stage: decode → pixel stats → drop bytes.
-    Output schema: IMAGE_FEATURES_FIELDS (feature_ts = event_ts)."""
+    Output schema: IMAGE_FEATURES_FIELDS (feature_ts = event_ts).
+
+    on_error: at 10^12 rows corrupt bytes are a certainty; 'null' (default)
+    emits the row with NULL stats + decode_ok=false so one bad image cannot
+    kill a 1000-executor stage and the bad-row rate is queryable downstream;
+    'raise' fails the task (strict mode for fixture validation)."""
     import pandas as pd
 
     def run(batches):
@@ -72,10 +78,17 @@ def extract_image_features(df: DataFrame, buckets: int = 64) -> DataFrame:
             out = {k: [] for k in ("image_id", "entity_id", "feature_ts",
                                    "phash", "phash_bucket", "px_mean_r",
                                    "px_mean_g", "px_mean_b", "px_std",
-                                   "sharpness")}
+                                   "sharpness", "decode_ok")}
             for r in pdf.itertuples(index=False):
-                arr = decode_image(r.bytes, r.w, r.h, r.fmt)
-                mr, mg, mb, std, sharp = _stats_one(arr)
+                try:
+                    arr = decode_image(r.bytes, r.w, r.h, r.fmt)
+                    mr, mg, mb, std, sharp = _stats_one(arr)
+                    ok = True
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    mr = mg = mb = std = sharp = None
+                    ok = False
                 out["image_id"].append(r.image_id)
                 out["entity_id"].append(r.entity_id)
                 out["feature_ts"].append(r.event_ts)
@@ -86,6 +99,7 @@ def extract_image_features(df: DataFrame, buckets: int = 64) -> DataFrame:
                 out["px_mean_b"].append(mb)
                 out["px_std"].append(std)
                 out["sharpness"].append(sharp)
+                out["decode_ok"].append(ok)
             yield pd.DataFrame(out)
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "entity_id",

@@ -131,3 +131,24 @@ def test_audio_features_pcm16(spark):
     assert np.isclose(r.peak, 0.5, atol=1e-3)
     # 440 Hz sine: ~880 sign flips/s → ZCR ~ 880/8000
     assert np.isclose(r.zero_crossing_rate, 880 / sr, atol=1e-3)
+
+
+def test_corrupt_bytes_null_policy(spark):
+    # one corrupt row (truncated bytes) must not kill the stage: NULL stats
+    # + decode_ok=false under the default policy; strict mode raises
+    good = synth.synth_images(spark, 4).collect()
+    rows = [(r.image_id, bytes(r.bytes), r.w, r.h, r.fmt, r.entity_id,
+             r.event_ts, r.phash) for r in good]
+    rows[2] = (rows[2][0], b"\x01\x02", rows[2][2], rows[2][3], rows[2][4],
+               rows[2][5], rows[2][6], rows[2][7])  # truncated
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string, "
+              "entity_id string, event_ts timestamp, phash long")
+    out = {r.image_id: r for r in images.extract_image_features(df).collect()}
+    bad_id = rows[2][0]
+    assert out[bad_id].decode_ok is False and out[bad_id].px_std is None
+    assert sum(1 for r in out.values() if r.decode_ok) == 3
+    assert all(r.px_std is not None for r in out.values()
+               if r.image_id != bad_id)
+    with pytest.raises(Exception):
+        images.extract_image_features(df, on_error="raise").collect()
