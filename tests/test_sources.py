@@ -40,3 +40,34 @@ def test_rule_file_roundtrip(tmp_path):
     assert back[0]["item_id"] == 123
     assert back[0]["features"] == {"food-type": "snack"}
     assert back[1]["pattern"] == [{"field": "lemma", "word": "dup"}]
+
+
+def test_write_feature_table_layout(spark, tmp_path):
+    # partition dirs by (day, entity bucket); rows sorted by (entity, ts)
+    # inside every file
+    import datetime as dt
+    import os
+    import pandas as pd
+    rows = []
+    for e in range(20):
+        for i in range(30):
+            rows.append((f"e{e}", dt.datetime(2025, 1, 1 + i % 3, i % 24),
+                         float(i)))
+    df = spark.createDataFrame(
+        rows, "entity_id string, event_ts timestamp, fval double")
+    p = str(tmp_path / "feat")
+    from clj_nlp_parse_spark import sources
+    sources.write_feature_table(df, p, buckets=4)
+    days = [d for d in os.listdir(p) if d.startswith("p_day=")]
+    assert sorted(days) == ["p_day=2025-01-01", "p_day=2025-01-02",
+                            "p_day=2025-01-03"]
+    bdirs = os.listdir(os.path.join(p, days[0]))
+    assert all(b.startswith("p_bucket=") for b in bdirs)
+    # in-file sort order
+    import glob
+    f = glob.glob(os.path.join(p, days[0], bdirs[0], "*.parquet"))[0]
+    pdf = pd.read_parquet(f)
+    assert list(pdf[["entity_id", "event_ts"]].itertuples(index=False)) == \
+        sorted(pdf[["entity_id", "event_ts"]].itertuples(index=False))
+    # round trip preserves all rows
+    assert spark.read.parquet(p).count() == len(rows)
