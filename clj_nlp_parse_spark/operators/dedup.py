@@ -303,3 +303,43 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5,
                            - F.col("inter")).cast("double"))
             .where(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "inter", "jaccard"))
+
+
+def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
+                         id_col: str = "doc_id",
+                         phash_col: str = "phash",
+                         bits: int = 32, bands: int = 4) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs (image dedup on the north_star's
+    phash column): band the hash into `bands` equal bit-slices — two hashes
+    within `max_hamming` bits MUST share at least one identical band when
+    max_hamming < bands (pigeonhole), so candidates come from `bands`
+    equi-joins (shuffle-friendly, AQE-splittable) and only candidates pay
+    the exact bit_count(xor) verification. Never quadratic in corpus size;
+    hot bands (e.g. flat images) are the salting/AQE case like any hot key.
+    """
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole guarantee needs max_hamming < bands")
+    slice_bits = bits // bands
+    mask = (1 << slice_bits) - 1
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bh', "
+        f"shiftright(cast({phash_col} as bigint), {b * slice_bits}) & {mask})"
+        for b in range(bands))
+    buckets = df.select(
+        F.col(id_col), F.col(phash_col).cast("long").alias("__ph"),
+        F.explode(F.expr(f"array({band_structs})")).alias("x"),
+    ).select(id_col, "__ph", F.col("x.band").alias("band"),
+             F.col("x.bh").alias("bh"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.__ph").alias("ph_a"),
+                    F.col("b.__ph").alias("ph_b"))
+            .distinct())
+    return (cand.withColumn(
+        "hamming", F.expr("bit_count(ph_a ^ ph_b)").cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming"))

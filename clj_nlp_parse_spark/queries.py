@@ -630,6 +630,46 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+_PH_SPARK = dialect.hash32_expr(DD.norm_text_sql("text", "spark"), "spark")
+_PH_DUCK = dialect.hash32_expr(DD.norm_text_sql("text", "duck"), "duck")
+
+
+@register(
+    "phash_near_dup",
+    f"""
+    WITH base AS (SELECT doc_id, {_PH_DUCK} AS ph FROM documents),
+    allv AS (SELECT doc_id, ph FROM base
+             UNION ALL
+             SELECT doc_id + 1000000, xor(ph, 1) FROM base WHERE doc_id < 25
+             UNION ALL
+             SELECT doc_id + 2000000, xor(ph, 21) FROM base WHERE doc_id < 5)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
+    FROM allv a JOIN allv b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= 2
+    ORDER BY id_a, id_b""",
+)
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash hamming near-dup pairs (image dedup on the
+    north_star's phash column). Candidates come from banded equi-joins
+    (pigeonhole: hamming<=2 over 4 bands forces a shared band) — the oracle
+    is the QUADRATIC join, so the parity check also proves the banding
+    lost nothing. phash derived deterministically from text (testdata has
+    no binary column); near-dups injected at hamming 1 (must match) and
+    hamming 3 (must not)."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", F.expr(_PH_SPARK).alias("ph"))
+    dup1 = base.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("ph ^ 1").alias("ph"))
+    dup3 = base.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("ph ^ 21").alias("ph"))
+    allv = base.unionByName(dup1).unionByName(dup3)
+    out = DD.phash_near_dup_pairs(allv, max_hamming=2, phash_col="ph")
+    return out.orderBy("id_a", "id_b")
+
+
 @register(
     "tfidf_top_terms",
     _WD_CTE + """
