@@ -65,3 +65,24 @@ def test_scoring_uses_all_tokens_not_just_go_words(spark, corpus):
                                   "doc_id long, text string")
     row = fz.transform(probe, model).collect()[0]
     assert np.isclose(row.word_count_x, 9 / 17)
+
+
+def test_featurizer_degenerate_corpora(spark):
+    # all-stopword corpus (no go words) and empty-text corpus: fit must not
+    # crash; transform degrades to the id column with zero feature columns
+    from clj_nlp_parse_spark.operators.word_count import WordCountFeaturizer
+    fz = WordCountFeaturizer(words_by_label_count=3, label_col="lang",
+                             text_col="text")
+    df = spark.createDataFrame(
+        [(1, "the a of and", "x"), (2, "to of the", "y")],
+        "doc_id long, text string, lang string")
+    model = fz.fit(df)
+    assert model.labels() == []
+    out = fz.transform(df, model, id_col="doc_id")
+    assert out.columns == ["doc_id"] and out.count() == 2
+
+    empty = spark.createDataFrame([(1, "", "x")],
+                                  "doc_id long, text string, lang string")
+    m2 = fz.fit(empty)
+    assert m2.labels() == []
+    assert fz.transform(empty, m2, id_col="doc_id").count() == 1
