@@ -368,6 +368,36 @@ LEFT JOIN hits h ON h.doc_id = dd.doc_id AND h.label = l.label
 ORDER BY dd.doc_id, l.label"""
 
 
+@register(
+    "word_count_dist",
+    _WC_CTES_HEAD := _WC_ORACLE[:_WC_ORACLE.index("SELECT dd.doc_id")] + """
+    SELECT d.label, d.word,
+           CAST(d.c AS DOUBLE) / CAST(t.total AS DOUBLE) AS prob
+    FROM dist d JOIN tot t ON d.label = t.label
+    ORDER BY d.label, d.word""",
+)
+def q_word_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 calculate-word-count-dist itself (reference word_count.clj:19-38):
+    top-N words per label by count (deterministic tiebreak word asc — the
+    reference's tie order was map-iteration-dependent, SURVEY §2.5 F8),
+    normalized by the top-N sum. Two hash aggs + one label-window."""
+    from pyspark.sql import Window
+    ann = tx.annotate(_docs(spark, sf_dir))
+    gw = ann.select(
+        F.col("lang").alias("label"),
+        F.explode(tx.go_word_forms_col("toks", "word")).alias("word"))
+    counts = gw.groupBy("label", "word").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("label").orderBy(F.desc("c"), F.asc("word"))
+    topn = (counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3))
+    tot = Window.partitionBy("label")
+    return (topn.withColumn(
+        "prob", F.col("c").cast("double")
+        / F.sum("c").over(tot).cast("double"))
+        .select("label", "word", "prob")
+        .orderBy("label", "word"))
+
+
 @register("word_count_scores", _WC_ORACLE)
 def q_word_count_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F7-F12: fit word-count dist per lang label, score every doc.
