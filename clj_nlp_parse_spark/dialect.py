@@ -182,6 +182,7 @@ def hash32_expr(s: str, dialect: str) -> str:
 # Exact Python equivalents of the SQL CASE expressions above, used by the
 # Arrow pandas-UDF full parser and dictionary compiler. Parity with the
 # Catalyst path is asserted by tests/test_dialect_parity.py.
+import functools as _functools
 import re as _re
 
 _POS_COMPILED = None
@@ -192,8 +193,10 @@ _SUFFIX_RE = {
 }
 
 
+@_functools.lru_cache(maxsize=65536)
 def lemma_py(t: str) -> str:
-    """Python twin of lemma_case_expr (ordered CASE semantics)."""
+    """Python twin of lemma_case_expr (ordered CASE semantics). Cached like
+    pos_py — once per distinct word per executor process."""
     if t in _IRREGULAR_LEMMAS:
         return _IRREGULAR_LEMMAS[t]
     if t.endswith("ies") and len(t) > 4:
@@ -251,8 +254,11 @@ def _raw_cond_py(cond: str):
     return lambda t: any(all(p(t) for p in ands) for ands in ors)
 
 
+@_functools.lru_cache(maxsize=65536)
 def pos_py(t: str) -> str:
-    """Python twin of pos_case_expr."""
+    """Python twin of pos_case_expr. LRU-cached: word distributions are
+    Zipf, so the rule cascade (80% of parse_document time profiled) runs
+    once per distinct word per executor process, not once per occurrence."""
     global _POS_COMPILED
     if _POS_COMPILED is None:
         _POS_COMPILED = _build_pos_py()

@@ -79,7 +79,13 @@ spark.stop()
 
 def synth_input(n: int, px: int = 96) -> str:
     import os
-    path = f"/tmp/spark_graft_scale_input_{n}_{px}"
+    # tmpfs: the input table must be served at memory bandwidth in BOTH
+    # legs. On a real cluster scan bandwidth scales with executors (each
+    # brings disks/NICs); local-mode's single virtio disk is a shared
+    # resource that intermittently evicts from page cache under the 4N
+    # leg's memory pressure and turns runs bimodal (measured 11s-49s).
+    base = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/dev/shm")
+    path = f"{base}/spark_graft_scale_input_{n}_{px}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         r = subprocess.run([sys.executable, "-c", SYNTH, str(n), str(px),
                             path], capture_output=True, text=True,
