@@ -660,6 +660,64 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.text_stats(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+# O9 tokens-for-mention: synthesized mention per doc (sent_index = doc_id%4
+# — sometimes past the last sentence, exercising the reference's guard);
+# span = first two tokens of that sentence, positions utterance-level.
+_SW_SPARK = features.sentence_words_sql("text", "spark")
+_SW_DUCK = features.sentence_words_sql("text", "duck")
+
+
+@register(
+    "tokens_for_mention",
+    f"""
+    WITH sw AS (SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS m_sent,
+                       {_SW_DUCK} AS sents FROM documents),
+    g AS (SELECT doc_id, m_sent, sents,
+            CASE WHEN m_sent < len(sents) THEN sents[m_sent + 1]
+                 ELSE [] END AS stoks,
+            CASE WHEN m_sent < len(sents) THEN
+              CAST(coalesce(list_sum(list_transform(
+                list_slice(sents, 1, m_sent), x -> len(x))), 0) AS INTEGER)
+            ELSE 0 END AS off FROM sw)
+    SELECT doc_id, x.w AS word, CAST(x.p AS BIGINT) AS pos
+    FROM (SELECT doc_id,
+            unnest(list_transform(
+              list_filter(list_transform(range(1, len(stoks) + 1),
+                i -> struct_pack(w := stoks[i], p := off + i - 1)),
+                t -> off <= t.p AND t.p < off + 2),
+              t -> t)) AS x
+          FROM g)
+    ORDER BY doc_id, pos""",
+)
+def q_tokens_for_mention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 tokens-for-mention (reference parse.clj:221-228): the mention's
+    sentence's tokens filtered by utterance-token-range containment, with
+    the sent-index guard (mention pointing past the last sentence yields
+    no rows instead of erroring). Pure projection + explode."""
+    docs = _docs(spark, sf_dir)
+    g = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("int").alias("m_sent"),
+        F.expr(_SW_SPARK).alias("sents"))
+    g = g.select(
+        "doc_id", "m_sent", "sents",
+        F.expr("CASE WHEN m_sent < size(sents) THEN "
+               "try_element_at(sents, m_sent + 1) ELSE array() END")
+        .alias("stoks"),
+        F.expr("CASE WHEN m_sent < size(sents) THEN "
+               "cast(aggregate(slice(sents, 1, m_sent), 0, "
+               "(a, x) -> a + size(x)) as int) ELSE 0 END").alias("off"))
+    pairs = g.select(
+        "doc_id",
+        F.explode(F.expr(
+            "filter(transform(stoks, (w, i) -> "
+            "named_struct('w', w, 'p', off + i)), "
+            "t -> off <= t.p AND t.p < off + 2)")).alias("x"))
+    return pairs.select(
+        "doc_id", F.col("x.w").alias("word"),
+        F.col("x.p").cast("long").alias("pos")).orderBy("doc_id", "pos")
+
+
 _PH_SPARK = dialect.hash32_expr(DD.norm_text_sql("text", "spark"), "spark")
 _PH_DUCK = dialect.hash32_expr(DD.norm_text_sql("text", "duck"), "duck")
 
