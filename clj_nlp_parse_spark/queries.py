@@ -782,6 +782,22 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
              .orderBy("doc_id", "rank")
 
 
+from clj_nlp_parse_spark.operators import sketches as SK
+
+
+@register(
+    "kmv_distinct",
+    SK.kmv_sql("user_id % 10", "event_id", 64, "duck") + " ORDER BY g",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per user bucket (deterministic mergeable
+    sketch — bit-exact across engines unlike HLL, so the oracle verifies
+    the estimate itself; accuracy + mergeability property-tested)."""
+    ev = _events(spark, sf_dir)
+    df = ev.select((F.col("user_id") % 10).alias("g"), "event_id")
+    return SK.kmv_distinct(df, ["g"], "event_id", k=64).orderBy("g")
+
+
 # ------------------------------------------- image pipeline (rows-only check)
 @register("image_feature_materialization")  # no SQL oracle: binary decode
 def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:

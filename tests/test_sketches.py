@@ -1,0 +1,48 @@
+"""KMV distinct-count sketch: accuracy, exactness below k, mergeability."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark.operators import sketches as SK
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame([(1, i % 40) for i in range(500)],
+                               "g int, v int")
+    r = SK.kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert r.n_seen == 40 and r.n_est == 40.0
+
+
+def test_kmv_accuracy(spark):
+    # 6000 distinct values, k=256 → relative error well inside 3/sqrt(k)≈19%
+    df = spark.range(20000).select(
+        F.lit(1).alias("g"), (F.col("id") % 6000).alias("v"))
+    r = SK.kmv_distinct(df, ["g"], "v", k=256).collect()[0]
+    assert r.n_seen == 256
+    assert abs(r.n_est - 6000) / 6000 < 0.19, r.n_est
+
+
+def test_kmv_mergeable(spark):
+    # sketch(A ∪ B) == k smallest of sketch(A) ∪ sketch(B): the partial+
+    # final aggregation property that makes it distributable
+    k = 32
+    a = spark.range(0, 3000).select(F.lit(1).alias("g"),
+                                    F.col("id").alias("v"))
+    b = spark.range(1500, 5000).select(F.lit(1).alias("g"),
+                                       F.col("id").alias("v"))
+    full = SK.kmv_min_hashes(a.unionByName(b), ["g"], "v", k=k)
+    ha = {r["__h"] for r in SK.kmv_min_hashes(a, ["g"], "v", k=k)
+          .select(F.col("__h")).collect()}
+    hb = {r["__h"] for r in SK.kmv_min_hashes(b, ["g"], "v", k=k)
+          .select(F.col("__h")).collect()}
+    merged = sorted(ha | hb)[:k]
+    got = sorted(r["__h"] for r in full.select(F.col("__h")).collect())
+    assert got == merged
+    # determinism across parallelism
+    est1 = SK.kmv_distinct(a.unionByName(b).coalesce(1), ["g"], "v", k=k) \
+        .collect()[0].n_est
+    est2 = SK.kmv_distinct(a.unionByName(b).repartition(16), ["g"], "v",
+                           k=k).collect()[0].n_est
+    assert est1 == est2
