@@ -74,3 +74,74 @@ def kmv_sql(group_col: str, value_col: str, k: int, d: str = "duck") -> str:
            ELSE ({float(k - 1)!r} * {float(MINHASH_MOD)!r})
                 / CAST(kth AS DOUBLE) END AS n_est
     FROM agg"""
+
+
+# ------------------------------------------------------------ Count-Min
+CM_D = 4       # hash rows
+CM_W = 512     # buckets per row
+
+
+def _cm_bucket_sql(r: int, value: str, d: str, w: int = CM_W) -> str:
+    """Row-r bucket of a (string) value: md5-derived hash of 'r:value'."""
+    if d == "spark":
+        h = h31_sql(f"concat('{r}:', {value})", "spark")
+    else:
+        h = h31_sql(f"'{r}:' || {value}", "duck")
+    return f"({h} % {w})"
+
+
+def cm_sketch(df: DataFrame, value_col: str,
+              d: int = CM_D, w: int = CM_W) -> DataFrame:
+    """Count-Min sketch of value_col occurrences: a (row, bucket) -> count
+    table of size d*w. One explode (×d) + one hash agg — combiner-friendly;
+    two sketches merge by summing counts (tested). Point estimates
+    overestimate by design (collisions only ever add)."""
+    structs = ", ".join(
+        f"named_struct('r', {r}, 'b', "
+        + _cm_bucket_sql(r, f"cast({value_col} as string)", "spark", w) + ")"
+        for r in range(d))
+    rows = df.select(
+        F.explode(F.expr(f"array({structs})")).alias("x")
+    ).select(F.col("x.r").alias("r"), F.col("x.b").alias("b"))
+    return rows.groupBy("r", "b").agg(
+        F.count("*").cast("long").alias("c"))
+
+
+def cm_point_estimates(sketch: DataFrame, items: DataFrame,
+                       item_col: str = "item",
+                       d: int = CM_D, w: int = CM_W) -> DataFrame:
+    """Estimate each item's count: min over rows of its (r, bucket) cell.
+    Broadcast the probes (tiny) against the d*w sketch."""
+    probes = items.select(
+        F.col(item_col),
+        F.explode(F.expr("array(" + ", ".join(
+            f"named_struct('r', {r}, 'b', "
+            + _cm_bucket_sql(r, f"cast({item_col} as string)", "spark", w)
+            + ")" for r in range(d)) + ")")).alias("x")
+    ).select(item_col, F.col("x.r").alias("r"), F.col("x.b").alias("b"))
+    j = sketch.join(F.broadcast(probes), ["r", "b"])
+    return j.groupBy(item_col).agg(F.min("c").cast("long").alias("est"))
+
+
+def cm_sql(value_from: str, items_from: str, item_expr: str,
+           d: int = CM_D, w: int = CM_W) -> str:
+    """DuckDB rendering: sketch over `value_from` (SELECT ... AS v),
+    estimates for `items_from` (SELECT ... AS item)."""
+    row_selects = " UNION ALL ".join(
+        f"SELECT {r} AS r, "
+        + _cm_bucket_sql(r, "CAST(v AS VARCHAR)", "duck", w)
+        + " AS b FROM vals" for r in range(d))
+    probe_selects = " UNION ALL ".join(
+        f"SELECT item, {r} AS r, "
+        + _cm_bucket_sql(r, "CAST(item AS VARCHAR)", "duck", w)
+        + " AS b FROM items" for r in range(d))
+    return f"""
+    WITH vals AS ({value_from}),
+    cells AS ({row_selects}),
+    sketch AS (SELECT r, b, CAST(count(*) AS BIGINT) AS c
+               FROM cells GROUP BY r, b),
+    items AS ({items_from}),
+    probes AS ({probe_selects})
+    SELECT p.item AS {item_expr}, CAST(min(s.c) AS BIGINT) AS est
+    FROM probes p JOIN sketch s ON p.r = s.r AND p.b = s.b
+    GROUP BY p.item"""

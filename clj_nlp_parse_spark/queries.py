@@ -798,6 +798,37 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_distinct(df, ["g"], "event_id", k=64).orderBy("g")
 
 
+@register(
+    "cm_word_counts",
+    SK.cm_sql(
+        value_from=("SELECT unnest("
+                    + dialect.tokens_expr("text", "duck")
+                    + ") AS v FROM documents"),
+        items_from=("SELECT word AS item FROM ("
+                    "SELECT w AS word, count(*) AS c FROM ("
+                    "SELECT unnest(" + dialect.tokens_expr("text", "duck")
+                    + ") AS w FROM documents) GROUP BY 1 "
+                    "ORDER BY c DESC, word ASC LIMIT 10)"),
+        item_expr="word",
+    ) + " ORDER BY word",
+)
+def q_cm_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch point estimates for the corpus's 10 most frequent
+    words (deterministic md5 hash rows — the estimate itself is
+    oracle-checked; overestimate + mergeability property-tested). At
+    100 TB the sketch is a d×w table built by one combiner-friendly agg
+    — heavy-hitter counts without a full word-count shuffle."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(
+        F.explode(F.expr(dialect.tokens_expr("text", "spark"))).alias("w"))
+    sketch = SK.cm_sketch(tok, "w")
+    top = (tok.groupBy("w").agg(F.count("*").alias("c"))
+           .orderBy(F.desc("c"), F.asc("w")).limit(10)
+           .select(F.col("w").alias("word")))
+    return (SK.cm_point_estimates(sketch, top, item_col="word")
+            .orderBy("word"))
+
+
 # ------------------------------------------- image pipeline (rows-only check)
 @register("image_feature_materialization")  # no SQL oracle: binary decode
 def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -46,3 +46,31 @@ def test_kmv_mergeable(spark):
     est2 = SK.kmv_distinct(a.unionByName(b).repartition(16), ["g"], "v",
                            k=k).collect()[0].n_est
     assert est1 == est2
+
+
+def test_cm_overestimates_and_merges(spark):
+    # CM never underestimates; two sketches merge by summing cells
+    import random
+    rnd = random.Random(2)
+    vals = [f"v{rnd.randint(0, 200)}" for _ in range(4000)]
+    from collections import Counter
+    truth = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    sk = SK.cm_sketch(df, "v")
+    items = spark.createDataFrame(
+        [(k,) for k in list(truth)[:20]], "item string")
+    est = {r.item: r.est for r in
+           SK.cm_point_estimates(sk, items).collect()}
+    for k, e in est.items():
+        assert e >= truth[k], (k, e, truth[k])
+    # merge: sketch(a+b) == cellwise sum of sketch(a), sketch(b)
+    a, b = vals[:2000], vals[2000:]
+    da = spark.createDataFrame([(v,) for v in a], "v string")
+    db = spark.createDataFrame([(v,) for v in b], "v string")
+    full = {(r.r, r.b): r.c for r in SK.cm_sketch(df, "v").collect()}
+    sa = {(r.r, r.b): r.c for r in SK.cm_sketch(da, "v").collect()}
+    sb = {(r.r, r.b): r.c for r in SK.cm_sketch(db, "v").collect()}
+    merged = dict(sa)
+    for k, v in sb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert full == merged
