@@ -829,6 +829,29 @@ def q_cm_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("word"))
 
 
+_SAMPLE_H = DD.h31_sql("cast(doc_id as string)", "spark")
+_SAMPLE_H_DUCK = DD.h31_sql("CAST(doc_id AS VARCHAR)", "duck")
+
+
+@register(
+    "consistent_sample",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_SAMPLE_H_DUCK} < CAST(0.2 * 2147483647 AS BIGINT)
+    ORDER BY doc_id""",
+)
+def q_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic consistent sampling (training-pipeline op): keep rows
+    whose key-hash falls under the rate threshold. Unlike df.sample() it is
+    reproducible across runs/engines/parallelism AND consistent across
+    tables (the same doc_id samples in or out everywhere — joinable
+    samples). Pure filter: pushes to the scan, no shuffle."""
+    docs = _docs(spark, sf_dir)
+    thr = int(0.2 * 2147483647)
+    return (docs.where(F.expr(_SAMPLE_H) < thr)
+            .select("doc_id", "lang").orderBy("doc_id"))
+
+
 # ------------------------------------------- image pipeline (rows-only check)
 @register("image_feature_materialization")  # no SQL oracle: binary decode
 def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
