@@ -158,15 +158,19 @@ def q_tree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM tk ORDER BY doc_id""",
 )
 def q_go_words(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F13 go-word filtering (reference stopword.clj:16-50)."""
-    ann = tx.annotate(_docs(spark, sf_dir))
-    return ann.select(
-        "doc_id",
-        F.expr("size(filter(toks, x -> x.is_go))").cast("long")
-            .alias("n_go_words"),
-        F.expr("size(array_distinct(transform(filter(toks, x -> x.is_go), "
-               "x -> x.word)))").cast("long").alias("n_distinct_go"),
-    ).orderBy("doc_id")
+    """F13 go-word filtering (reference stopword.clj:16-50). The go-word
+    array is let-bound once per row — naming it in both output columns
+    would re-run tokenize+tag per column (projection collapse)."""
+    toks = tx.annotated_tokens_sql(dialect.tokens_expr("text", "spark"),
+                                   "spark")
+    let = (f"try_element_at(transform(array("
+           f"transform(filter({toks}, x -> x.is_go), x -> x.word)), "
+           f"z -> named_struct("
+           f"'n_go_words', cast(size(z) as bigint), "
+           f"'n_distinct_go', cast(size(array_distinct(z)) as bigint))), 1)")
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.expr(let).alias("__f"))
+            .select("doc_id", "__f.*").orderBy("doc_id"))
 
 
 # ------------------------------------------------- as-of join + window ops
@@ -1177,14 +1181,17 @@ def q_token_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference parse.clj:157-165, 213-219): try_element_at is the null-safe
     nth (1-based, -1 = last), slice(words, beg, len) is tokens-by-sentence's
     drop/take — both pure codegen projections, no shuffle."""
-    ann = tx.annotate(_docs(spark, sf_dir))
-    return ann.select(
-        "doc_id",
-        F.expr("try_element_at(toks, 1).word").alias("first_word"),
-        F.expr("try_element_at(toks, 3).pos_tag").alias("third_tag"),
-        F.expr("try_element_at(toks, -1).word").alias("last_word"),
-        F.expr("array_join(slice(words, 2, 3), ' ')").alias("slice_2_4"),
-    ).orderBy("doc_id")
+    toks = tx.annotated_tokens_sql(dialect.tokens_expr("text", "spark"),
+                                   "spark")
+    let = (f"try_element_at(transform(array({toks}), z -> named_struct("
+           f"'first_word', try_element_at(z, 1).word, "
+           f"'third_tag', try_element_at(z, 3).pos_tag, "
+           f"'last_word', try_element_at(z, -1).word, "
+           f"'slice_2_4', array_join(transform(slice(z, 2, 3), "
+           f"x -> x.word), ' '))), 1)")
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.expr(let).alias("__f"))
+            .select("doc_id", "__f.*").orderBy("doc_id"))
 
 
 # ------------------------------------------------- mention-source union (O6)
@@ -1280,13 +1287,18 @@ def q_srl_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum of hashes with nil→0; argument-counts = tokens with a first-head
     dependency label) + O15 first non-null scan (feature/lang.clj:15-31)."""
     s = _srl_frags("spark")
-    ann = tx.annotate(_docs(spark, sf_dir))
-    return ann.select(
-        "doc_id",
-        F.expr(s["pid"]).cast("long").alias("srl_propbank_id"),
-        F.expr(s["argc"]).cast("long").alias("srl_argument_counts"),
-        F.expr(s["first_pb"]).alias("first_propbank_label"),
-    ).orderBy("doc_id")
+    toks = tx.annotated_tokens_sql(dialect.tokens_expr("text", "spark"),
+                                   "spark")
+    # bind toks once; the three feature fragments reference the bound `toks`
+    # lambda variable instead of re-deriving the annotation per column
+    let = (f"try_element_at(transform(array({toks}), toks -> "
+           f"named_struct("
+           f"'srl_propbank_id', cast({s['pid']} as bigint), "
+           f"'srl_argument_counts', cast({s['argc']} as bigint), "
+           f"'first_propbank_label', {s['first_pb']})), 1)")
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.expr(let).alias("__f"))
+            .select("doc_id", "__f.*").orderBy("doc_id"))
 
 
 # --------------------------------------- O15 windowed first non-null (events)
