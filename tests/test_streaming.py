@@ -154,3 +154,43 @@ def test_streaming_carry_equals_batch_asof(spark, tmp_path):
     got = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
            for r in spark.read.parquet(sink).collect()}
     assert got == want
+
+
+def test_watermark_drops_late_event(spark, tmp_path):
+    # drain 1: user 1 has 2 events in [10:00, 11:00); a 12:00 event advances
+    # the watermark to 11:30, closing and evicting that window's state.
+    # drain 2 (same checkpoint): a LATE 10:05 event arrives — beyond the
+    # watermark, it must be dropped; a 14:00 event advances the watermark
+    # past 12:00 + 13:00 so every legitimate window flushes to the sink.
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    p = str(tmp_path / "wm_in")
+    ckpt = str(tmp_path / "wm_ckpt")
+    sink = str(tmp_path / "wm_out")
+
+    batch1 = spark.createDataFrame([
+        (1, 1, _t("2025-01-01T10:00:00"), 1.0),
+        (2, 1, _t("2025-01-01T10:10:00"), 2.0),
+        (3, 1, _t("2025-01-01T12:00:00"), 3.0),
+    ], schema)
+    batch1.coalesce(1).write.mode("append").parquet(p)
+    sdf = spark.readStream.schema(batch1.schema).parquet(p)
+    out = ST.windowed_event_counts(sdf, window="1 hour",
+                                   watermark="30 minutes")
+    ST.run_available_now_to_parquet(out, sink, ckpt)
+
+    batch2 = spark.createDataFrame([
+        (4, 1, _t("2025-01-01T10:05:00"), 9.0),   # LATE: beyond watermark
+        (5, 1, _t("2025-01-01T14:00:00"), 4.0),   # advances watermark
+    ], schema)
+    batch2.coalesce(1).write.mode("append").parquet(p)
+    sdf2 = spark.readStream.schema(batch1.schema).parquet(p)
+    out2 = ST.windowed_event_counts(sdf2, window="1 hour",
+                                    watermark="30 minutes")
+    ST.run_available_now_to_parquet(out2, sink, ckpt)
+
+    got = {(r.win_start.hour, r.n_events, float(r.sum_value))
+           for r in spark.read.parquet(sink).collect()}
+    # the 10:00 window finalized WITHOUT the late event (2 events, sum 3.0)
+    assert (10, 2, 3.0) in got
+    assert (10, 3, 12.0) not in got   # late row did NOT reopen the window
+    assert (12, 1, 3.0) in got        # the 12:00 window flushed
