@@ -62,9 +62,10 @@ def asof_join(
         c for c in right.columns if c not in on and c != right_ts]
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown asof direction: {direction}")
-    if direction == "forward" and strategy not in ("union_window", "auto"):
+    if direction == "forward" and strategy not in ("union_window",
+                                                   "merge_asof", "auto"):
         raise ValueError("direction='forward' is implemented for the "
-                         "union_window strategy")
+                         "union_window and merge_asof strategies")
     if strategy == "auto":
         strategy = choose_asof_strategy(left, on)
         if direction == "forward":
@@ -73,7 +74,8 @@ def asof_join(
         out = _asof_union_window(left, right, on, left_ts, right_ts,
                                  value_cols, direction)
     elif strategy == "merge_asof":
-        out = _asof_merge(left, right, on, left_ts, right_ts, value_cols)
+        out = _asof_merge(left, right, on, left_ts, right_ts, value_cols,
+                          direction=direction)
     elif strategy == "union_window_split":
         out = _asof_union_window_split(left, right, on, left_ts, right_ts,
                                        value_cols)
@@ -164,7 +166,7 @@ def _asof_union_window(left, right, on, left_ts, right_ts, value_cols,
 
 
 def _asof_merge(left, right, on, left_ts, right_ts, value_cols,
-                n_buckets: int = 64):
+                n_buckets: int = 64, direction: str = "backward"):
     """Cogrouped merge_asof. Keys are hash-bucketed so each pandas call
     handles a whole bucket of keys via pd.merge_asof(by=on) — per-group
     Python invocation overhead is paid per BUCKET (n_buckets total), not
@@ -205,7 +207,7 @@ def _asof_merge(left, right, on, left_ts, right_ts, value_cols,
         m = pd.merge_asof(
             lpdf, rpdf,
             left_on=left_ts, right_on=right_ts, by=on,
-            direction="backward", allow_exact_matches=True,
+            direction=direction, allow_exact_matches=True,
         )
         return m[[*left_cols, right_ts, *value_cols]]
 

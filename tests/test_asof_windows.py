@@ -233,3 +233,14 @@ def test_asof_vs_pandas_merge_asof_randomized(spark):
             fv = None if pd.isna(r.fval) else r.fval
             want[(r.entity_id, r.event_ts.to_pydatetime(), r.event_id)] = (ft, fv)
         assert got == want, strategy
+
+
+def test_asof_forward_merge_strategy_matches_window(spark):
+    left, right = _sides(spark)
+    w = asof.asof_join(left, right, on=["entity_id"], direction="forward",
+                       strategy="union_window")
+    m = asof.asof_join(left, right, on=["entity_id"], direction="forward",
+                       strategy="merge_asof")
+    gw = {r.event_id: (r.feature_ts, r.fval) for r in w.collect()}
+    gm = {r.event_id: (r.feature_ts, r.fval) for r in m.collect()}
+    assert gw == gm
