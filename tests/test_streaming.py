@@ -194,3 +194,53 @@ def test_watermark_drops_late_event(spark, tmp_path):
     assert (10, 2, 3.0) in got
     assert (10, 3, 12.0) not in got   # late row did NOT reopen the window
     assert (12, 1, 3.0) in got        # the 12:00 window flushed
+
+
+def test_streaming_carry_many_microbatches(spark, tmp_path):
+    # one file per micro-batch (maxFilesPerTrigger=1): the GroupState must
+    # carry across MANY batch boundaries within a single availableNow run
+    import random
+    from clj_nlp_parse_spark.operators import asof
+    rnd = random.Random(11)
+    schema = "entity_id string, ts timestamp, side string, fval double"
+    p = str(tmp_path / "mb_in")
+    uni, evs, feats = [], [], []
+    t = 0
+    import glob
+    import os
+    import time as time_mod
+    base_mtime = time_mod.time() - 600
+    for fidx in range(6):       # 6 files → 6 micro-batches
+        rows = []
+        for _ in range(10):
+            t += rnd.randint(1, 500)
+            ts = _t("2025-01-01T00:00:00") + dt.timedelta(seconds=t)
+            if rnd.random() < 0.35:
+                v = float(rnd.randint(0, 99))
+                rows.append(("e", ts, "feature", v))
+                feats.append(("e", ts, v))
+            else:
+                rows.append(("e", ts, "event", None))
+                evs.append(("e", ts))
+        before = set(glob.glob(f"{p}/*.parquet"))
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(p)
+        # pin strictly increasing mtimes so the file source's batch order
+        # matches write order even with same-second filesystem resolution
+        for f in set(glob.glob(f"{p}/*.parquet")) - before:
+            os.utime(f, (base_mtime + fidx * 10, base_mtime + fidx * 10))
+        uni += rows
+    sdf = (spark.readStream.schema(uni and spark.createDataFrame(
+        uni, schema).schema).option("maxFilesPerTrigger", 1).parquet(p))
+    sink = str(tmp_path / "mb_out")
+    ST.run_available_now_to_parquet(
+        ST.streaming_asof_carry(sdf), sink, str(tmp_path / "mb_ckpt"))
+    got = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+           for r in spark.read.parquet(sink).collect()}
+    lefts = spark.createDataFrame(evs, "entity_id string, event_ts timestamp")
+    rights = spark.createDataFrame(
+        feats, "entity_id string, feature_ts timestamp, fval double")
+    want = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+            for r in asof.asof_join(lefts, rights, on=["entity_id"])
+            .collect()}
+    assert got == want
