@@ -856,6 +856,47 @@ def q_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+@register(
+    "training_corpus_filter",
+    _WD_CTE + f"""
+    , q AS (SELECT doc_id, text, words,
+              {TS.lang_id_sql('words', 'duck')} AS lang_pred,
+              {TS.quality_score_sql('text', 'words', 'duck')} AS quality,
+              md5({DD.norm_text_sql('text', 'duck')}) AS text_hash
+            FROM wd)
+    , d AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY text_hash)
+              AS keep FROM q)
+    SELECT doc_id, lang_pred, quality,
+           CAST(len(words) AS BIGINT) AS n_words
+    FROM d
+    WHERE keep AND lang_pred = 'en' AND quality >= 0.4 AND len(words) >= 10
+    ORDER BY doc_id""",
+)
+def q_training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data admission filter (the composition a 100 TB
+    curation pipeline actually runs): language-ID + quality threshold +
+    min length + exact-dedup keep — one scan, one window shuffle on the
+    text hash, every predicate Catalyst-pushable."""
+    from pyspark.sql import Window
+    docs = _docs(spark, sf_dir)
+    wd = docs.withColumn(
+        "words", F.expr(dialect.tokens_expr("text", "spark")))
+    q = wd.select(
+        "doc_id",
+        F.expr(TS.lang_id_sql("words", "spark")).alias("lang_pred"),
+        F.expr(TS.quality_score_sql("text", "words", "spark"))
+        .alias("quality"),
+        F.expr(f"md5({DD.norm_text_sql('text', 'spark')})")
+        .alias("text_hash"),
+        F.expr("size(words)").cast("long").alias("n_words"))
+    w = Window.partitionBy("text_hash")
+    d = q.withColumn("keep", F.col("doc_id") == F.min("doc_id").over(w))
+    return (d.where(F.col("keep") & (F.col("lang_pred") == "en")
+                    & (F.col("quality") >= 0.4) & (F.col("n_words") >= 10))
+            .select("doc_id", "lang_pred", "quality", "n_words")
+            .orderBy("doc_id"))
+
+
 # ------------------------------------------- image pipeline (rows-only check)
 @register("image_feature_materialization")  # no SQL oracle: binary decode
 def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -152,3 +152,30 @@ def test_corrupt_bytes_null_policy(spark):
                if r.image_id != bad_id)
     with pytest.raises(Exception):
         images.extract_image_features(df, on_error="raise").collect()
+
+
+def test_phash_near_dup_on_image_table(spark):
+    # the image-table path of the phash near-dup operator: inject bit-flip
+    # variants of real synth phashes; banding must find exactly the pairs
+    # within the hamming budget
+    from clj_nlp_parse_spark.operators.dedup import phash_near_dup_pairs
+    imgs = synth.synth_images(spark, 64).select("image_id", "phash")
+    base = imgs.withColumn("phash", F.expr("phash & 4294967295"))  # 32 bits
+    flip1 = base.limit(10).select(
+        F.concat(F.col("image_id"), F.lit("_d1")).alias("image_id"),
+        F.expr("phash ^ 4").alias("phash"))
+    flip3 = base.limit(5).select(
+        F.concat(F.col("image_id"), F.lit("_d3")).alias("image_id"),
+        F.expr("phash ^ 21").alias("phash"))
+    allv = base.unionByName(flip1).unionByName(flip3)
+    pairs = phash_near_dup_pairs(allv, max_hamming=2, id_col="image_id")
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    d1 = {p for p in got if p[0].endswith("_d1") or p[1].endswith("_d1")}
+    assert len(d1) >= 10   # every injected hamming-1 pair found
+    # hamming-3 variants never pair with their BASE image (xor 21 = 3 bits);
+    # d1↔d3 pairs of the same image are genuine (xor(4,21) = 2 bits)
+    assert not any(
+        (a.endswith("_d3") and b == a[:-3]) or
+        (b.endswith("_d3") and a == b[:-3])
+        for a, b in got)
+    assert all(h <= 2 for h in got.values())
