@@ -326,6 +326,43 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_stats",
+    """
+    WITH g AS (
+      SELECT event_id, user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+          OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800 * 1000
+        THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) - 1 AS BIGINT) AS session_id
+      FROM g)
+    SELECT user_id, session_id,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms,
+      sum(value) AS sum_value
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id""",
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session feature vector (duration, event count, value sum) on top
+    of gap sessionization — the windowed feature a session-level model
+    trains on. The groupBy rides the sessionize window's existing
+    entity-key partitioning."""
+    from clj_nlp_parse_spark.operators import windows
+    s = windows.sessionize(_events(spark, sf_dir), gap_seconds=1800)
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+                 .cast("long").alias("duration_ms"),
+                 F.sum("value").alias("sum_value"))
+            .orderBy("user_id", "session_id"))
+
+
+@register(
     "backfill",
     """
     SELECT event_id, user_id,
