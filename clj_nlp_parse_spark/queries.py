@@ -326,6 +326,59 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rolling_features",
+    """
+    SELECT event_id, user_id,
+      avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_mean3,
+      max(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_max3,
+      value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        AS delta
+    FROM events ORDER BY event_id""",
+)
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling per-entity features (trailing mean/max over 3 rows + delta
+    vs previous) — one window partitioning shared by all three outputs, so
+    Catalyst plans a single shuffle+sort."""
+    from pyspark.sql import Window
+    ev = _events(spark, sf_dir)
+    w3 = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(-2, 0))
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.avg("value").over(w3).alias("roll_mean3"),
+        F.max("value").over(w3).alias("roll_max3"),
+        (F.col("value") - F.lag("value").over(wl)).alias("delta"),
+    ).orderBy("event_id")
+
+
+@register(
+    "daily_rollup",
+    """
+    SELECT user_id, CAST(ts AS DATE) AS day,
+      CAST(count(*) AS BIGINT) AS n_events,
+      sum(value) AS sum_value,
+      min(value) AS min_value,
+      max(value) AS max_value
+    FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ORDER BY user_id, day""",
+)
+def q_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time rollup: per (entity, day) aggregates — one
+    combiner-friendly hash agg; the aligned materialization a downstream
+    as-of join consumes."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum("value").alias("sum_value"),
+                 F.min("value").alias("min_value"),
+                 F.max("value").alias("max_value"))
+            .orderBy("user_id", "day"))
+
+
+@register(
     "session_stats",
     """
     WITH g AS (
