@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from clj_nlp_parse_spark import dialect, schema
-from clj_nlp_parse_spark.operators.dictionary import CompiledItem, DictItem, compile_items
+from clj_nlp_parse_spark.operators.dictionary import (
+    CompiledItem, DictItem, compile_items, match_token_py)
 from clj_nlp_parse_spark.operators.features import NEGATIVE_WORDS, POSITIVE_WORDS
 
 _SENT_BOUND = re.compile(r"[.!?]+")
@@ -88,9 +89,10 @@ def parse_document(text: str, compiled: list[CompiledItem] | None = None) -> dic
             k = len(ci.pattern)
             for i in range(len(words) - k + 1):
                 ok = True
-                for off, (fld, pw) in enumerate(ci.pattern):
-                    v = words[i + off] if fld == "word" else lemmas[i + off]
-                    if v != pw:
+                for off, p in enumerate(ci.pattern):
+                    if not match_token_py(
+                            ci, p, words[i + off], lemmas[i + off],
+                            all_tokens[i + off][2]["text"]):
                         ok = False
                         break
                 if ok:

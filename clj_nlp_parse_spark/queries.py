@@ -608,6 +608,76 @@ def q_mention_token_join(spark: SparkSession, sf_dir: str) -> DataFrame:
               .orderBy("doc_id", "item_id", "pos")
 
 
+# Dictionary OPTION parity (VERDICT r01 #1/#2): case_min_tok case-sensitive
+# matching, conj and|& alternation (reference DEFAULT, tok_re.clj:39),
+# verbatim-regex items, det-chop/case interplay, and the features map
+# surfaced from the Catalyst mention struct. The corpus is all-lowercase,
+# so the query derives deterministic case + conjunction variance in-query
+# (upper() every 3rd doc; ' slow ' → ' and ') — identically in both
+# dialects.
+DICT_OPT_ITEMS = [
+    # case-sensitive (2 tokens >= case_min_tok=2): matches only upper docs
+    D.DictItem(21, "FAST TABLE", "CS_UP", case_min_tok=2,
+               features={"food-type": "snack"}),
+    # case-sensitive lowercase twin: matches only non-upper docs
+    D.DictItem(22, "fast table", "CS_LO", case_min_tok=2),
+    # conj alternation: item '&' matches every 'and' token (tok_re.clj:120-122)
+    D.DictItem(23, "&", "CONJ"),
+    # verbatim regex (RE2∩Java subset), case-sensitive full match
+    D.DictItem(24, "/[a-z]*ow/", "RE_OW", is_regexp=True),
+    # leading-the chop runs on lowercase even for a case-sensitive item
+    D.DictItem(25, "THE line", "CHOP_CS", case_min_tok=0),
+    # trailing-the chop (massage-tokens first?=true on the last token)
+    D.DictItem(26, "line the", "CHOP_TRAIL"),
+]
+_OPT_COMPILED = D.compile_items(DICT_OPT_ITEMS)
+_OPT_TEXT = ("CASE WHEN doc_id % 3 = 0 THEN "
+             "upper(replace(text, ' slow ', ' and ')) "
+             "ELSE replace(text, ' slow ', ' and ') END")
+
+
+def _dict_opt_cte() -> str:
+    words = dialect.tokens_expr("text", "duck")
+    cased = D.cased_tokens_expr("text", "duck")
+    lem = dialect.lemma_case_expr("t", "duck")
+    m = D.mentions_sql(_OPT_COMPILED, "words", "lemmas", "duck",
+                       cased="cased", with_features=True)
+    return (f"WITH src AS (SELECT doc_id, {_OPT_TEXT} AS text "
+            f"FROM documents), "
+            f"w AS (SELECT doc_id, {words} AS words, {cased} AS cased "
+            f"FROM src), "
+            f"lm AS (SELECT doc_id, words, cased, "
+            f"list_transform(words, t -> ({lem})) AS lemmas FROM w), "
+            f"mn AS (SELECT doc_id, {m} AS mentions FROM lm)")
+
+
+@register(
+    "dict_mentions_options",
+    _dict_opt_cte() + """
+    SELECT doc_id, x.label AS label, x.item_id AS item_id,
+           CAST(x.tok_beg AS BIGINT) AS tok_beg,
+           CAST(x.tok_end AS BIGINT) AS tok_end,
+           (x.features['food-type'])[1] AS food_type
+    FROM (SELECT doc_id, unnest(mentions) AS x FROM mn)
+    ORDER BY doc_id, item_id, tok_beg""",
+)
+def q_dict_mentions_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 dictionary NER with full option parity: case_min_tok,
+    conj-regexp and|& alternation, verbatim is_regexp, det-chop ordering,
+    features map lookups (reference tok_re.clj:29-46,97-160,
+    ner_test.clj:46-50)."""
+    src = _docs(spark, sf_dir).select("doc_id", F.expr(_OPT_TEXT).alias("text"))
+    tagged = D.tag_mentions(src, DICT_OPT_ITEMS, with_features=True)
+    return (tagged.select("doc_id",
+                          F.explode("tok_re_mentions").alias("x"))
+            .select("doc_id", F.col("x.label").alias("label"),
+                    F.col("x.item_id").alias("item_id"),
+                    F.col("x.tok_beg").cast("long").alias("tok_beg"),
+                    F.col("x.tok_end").cast("long").alias("tok_end"),
+                    F.expr("x.features['food-type']").alias("food_type"))
+            .orderBy("doc_id", "item_id", "tok_beg"))
+
+
 # ------------------------------------------------------------- dedup suite
 from clj_nlp_parse_spark.operators import dedup as DD
 from clj_nlp_parse_spark.operators import similarity as SIM

@@ -54,3 +54,123 @@ def test_mentions_features_zero_defaults(spark):
                                            ["JOIN_OP"])).collect()[0]
     assert row.mentions_count_join_op == 0
     assert row.mentions_ratio_join_op == 0.0
+
+
+# ---------------------------------------------------------- option parity
+def test_case_min_tok_sensitive(spark):
+    # tok_re.clj:126-127: >= case-min-tok tokens → case-SENSITIVE item
+    items = [D.DictItem(9, "Teddy Grams", "PRODUCT", case_min_tok=2)]
+    got = _tag(spark, items, "I love Teddy Grams but not teddy grams")
+    assert got == [("PRODUCT", 9, 2, 4)]
+
+
+def test_case_min_tok_below_threshold_insensitive(spark):
+    items = [D.DictItem(9, "Teddy Grams", "PRODUCT", case_min_tok=3)]
+    got = _tag(spark, items, "I love Teddy Grams but not teddy grams")
+    assert got == [("PRODUCT", 9, 2, 4), ("PRODUCT", 9, 6, 8)]
+
+
+def test_conj_alternation_default_on(spark):
+    # tok_re.clj:39,120-122: an item token 'and'/'&' matches both symbols;
+    # reference default is ON
+    items = [D.DictItem(10, "rock & roll", "MUSIC")]
+    assert _tag(spark, items, "play rock and roll now") == [
+        ("MUSIC", 10, 1, 4)]
+    items = [D.DictItem(11, "salt and pepper", "FOOD")]
+    assert _tag(spark, items, "add salt and pepper") == [("FOOD", 11, 1, 4)]
+
+
+def test_conj_alternation_off(spark):
+    items = [D.DictItem(10, "rock & roll", "MUSIC", conj_regexp=False)]
+    # '&' cannot tokenize under the engine tokenizer, so without the
+    # alternation the item can never match
+    assert _tag(spark, items, "play rock and roll now") == []
+
+
+def test_conj_case_sensitive_interaction(spark):
+    # case-sensitive item: massaged text 'and' still gets the alternation,
+    # matched case-sensitively against the cased token
+    items = [D.DictItem(12, "salt and pepper", "FOOD", case_min_tok=0)]
+    assert _tag(spark, items, "add salt and pepper") == [("FOOD", 12, 1, 4)]
+    assert _tag(spark, items, "add salt AND pepper") == []
+
+
+def test_is_regexp_verbatim(spark):
+    # engine contract: whitespace-separated per-token regexes, full-match,
+    # case-sensitive (tok_re.clj:45-46,66 — surface syntax deviation
+    # documented in the module docstring)
+    items = [D.DictItem(13, "/[a-z]*ing/ scan", "ING_SCAN", is_regexp=True)]
+    assert _tag(spark, items, "running scan done") == [("ING_SCAN", 13, 0, 2)]
+    assert _tag(spark, items, "Running scan done") == []
+
+
+def test_trailing_the_chop(spark):
+    # the reference's massage-tokens passes first?=true for the LAST token
+    # (tok_re.clj:141-152), so a trailing 'the' is chopped too
+    items = [D.DictItem(14, "walk the", "WALK_T")]
+    assert _tag(spark, items, "they walk the line") == [("WALK_T", 14, 1, 2)]
+
+
+def test_chop_runs_after_lemmatization(spark):
+    # single-token lemma item whose LEMMA is 'the' is chopped away entirely
+    # (massage-word-map lemmatizes before the det-chop test,
+    # tok_re.clj:131-139) → the item compiles to nothing
+    items = [D.DictItem(15, "thes", "T", lem_min_len=0)]
+    assert D.compile_items(items) == []
+    assert _tag(spark, items, "thes the line") == []
+
+
+def test_features_map_in_catalyst_struct(spark):
+    # tok_re.clj:78-82 / ner_test.clj:46-50: mentions carry the item's
+    # features map
+    items = [D.DictItem(123, "teddy grams", "PRODUCT",
+                        features={"food-type": "snack"})]
+    df = spark.createDataFrame([(1, "I like Teddy Grams on Tuesday")],
+                               "doc_id long, text string")
+    tagged = D.tag_mentions(df, items, with_features=True)
+    from pyspark.sql import functions as F
+    row = tagged.select(F.explode("tok_re_mentions").alias("m")) \
+                .select(F.expr("m.features['food-type']").alias("ft"),
+                        F.expr("m.features['nope']").alias("missing")) \
+                .collect()[0]
+    assert row.ft == "snack"
+    assert row.missing is None
+
+
+def test_case_sensitive_lemma_restoration(spark):
+    # cased lemma restoration (tok_re.clj:97-107): 'Dups' → 'Dup',
+    # 'DUPS' → 'DUP'; item 'Dups' lem+case matches the same shapes
+    assert D.cased_lemma_py("Dups") == "Dup"
+    assert D.cased_lemma_py("DUPS") == "DUP"
+    assert D.cased_lemma_py("dups") == "dup"
+    # lemma == word ignoring case → keep the ORIGINAL word (even odd case)
+    assert D.cased_lemma_py("TaBle") == "TaBle"
+    items = [D.DictItem(16, "Dups", "RARE", lem_min_len=0, case_min_tok=0)]
+    assert _tag(spark, items, "all the Dups here") == [("RARE", 16, 2, 3)]
+    assert _tag(spark, items, "all the dups here") == []
+
+
+def test_full_parser_golden_ner_test_clj(spark):
+    """Mirrors ner_test.clj:28-50: mention text recovered over char ranges,
+    features map and item ids surfaced, tokens-for-mention count."""
+    from clj_nlp_parse_spark.functions.parse import parse_document
+    items = [
+        D.DictItem(123, "Teddy Grams", "PRODUCT",
+                   features={"food-type": "snack"}),
+        D.DictItem(5, "tuesday", "DAY_OF_WEEK"),
+    ]
+    pan = parse_document("I like Teddy Grams on Tuesday",
+                         D.compile_items(items))
+    ms = sorted(pan["tok_re_mentions"], key=lambda m: m["tok_beg"])
+    product, dow = ms
+    assert product["ner_tag"] == "PRODUCT"
+    assert product["text"] == "Teddy Grams"
+    assert product["features"] == {"food-type": "snack"}
+    assert product["item_id"] == 123
+    assert dow["ner_tag"] == "DAY_OF_WEEK"
+    assert dow["text"] == "Tuesday"
+    # tokens-for-mention over the product mention = 2 tokens
+    toks = [t for s in pan["sents"] for t in s["tokens"]
+            if product["tok_beg"] <= t["tok_beg"]
+            and t["tok_end"] <= product["tok_end"]]
+    assert len(toks) == 2

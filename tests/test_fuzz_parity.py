@@ -147,3 +147,140 @@ def test_dictionary_mentions_fuzz_three_way(spark):
     assert got_spark == got_duck
     assert got_spark == got_py
     assert len(got_spark) > 20  # fixture actually produces matches
+
+
+def _reference_massage(item):
+    """Independent, literal port of the reference's item-to-word-regexes
+    massaging (tok_re.clj:112-160) used ONLY as a fuzz comparator: lemma
+    (with case restoration, tok_re.clj:97-107) on the last token (single
+    token = first and last), det-chop on the lowercase of the massaged word
+    at first?/last? positions, case fold unless case-sensitive, then the
+    conj and|& replacement on the massaged text. Returns the same
+    (field, kind, value) triples compile_items emits."""
+    from clj_nlp_parse_spark.operators.dictionary import cased_lemma_py
+    toks = item.content.split()
+    lem_on = item.lem_min_len != -1 and len(item.content) >= item.lem_min_len
+    case_sen = (item.case_min_tok != -1
+                and len(toks) >= item.case_min_tok)
+
+    def massage(word, lem_this, first):
+        w = cased_lemma_py(word) if lem_this else word
+        lower = w.lower()
+        if first and item.first_det_chop and lower == "the":
+            return None
+        return (("lemma" if lem_this else "word"),
+                w if case_sen else lower)
+
+    out = []
+    n = len(toks)
+    for i, t in enumerate(toks):
+        if n == 1:
+            m = massage(t, lem_on, True)
+        elif i == 0:
+            m = massage(t, False, True)
+        elif i == n - 1:
+            # reference passes first?=true for the last token
+            # (tok_re.clj:141-152)
+            m = massage(t, lem_on, True)
+        else:
+            m = massage(t, False, False)
+        if m is None:
+            continue
+        fld, text = m
+        if item.conj_regexp and text in ("and", "&"):
+            out.append((fld, "conj", text))
+        else:
+            out.append((fld, "eq", text))
+    return out, case_sen
+
+
+def test_compile_order_fuzz_vs_reference_massage():
+    """VERDICT r01 #9: fuzz items mixing chop + lemma + case + conj and
+    compare the engine compiler against the literal reference massaging."""
+    from clj_nlp_parse_spark.operators import dictionary as D
+    rnd = random.Random(47)
+    vocab = ["the", "The", "THE", "and", "AND", "&", "Dups", "dups",
+             "Teddy", "grams", "Tables", "thes", "Thes", "lines", "a"]
+    for trial in range(400):
+        k = rnd.randint(1, 4)
+        content = " ".join(rnd.choice(vocab) for _ in range(k))
+        item = D.DictItem(
+            trial, content, "L",
+            lem_min_len=rnd.choice([-1, 0, 3, 8]),
+            case_min_tok=rnd.choice([-1, 0, 1, 2, 3]),
+            first_det_chop=rnd.random() < 0.7,
+            conj_regexp=rnd.random() < 0.7)
+        want, want_cs = _reference_massage(item)
+        got = D.compile_items([item])
+        got_pats = ([(p.field, p.kind, p.value) for p in got[0].pattern]
+                    if got else [])
+        assert got_pats == want, (content, item)
+        if got:
+            assert got[0].case_sen == want_cs, (content, item)
+        else:
+            assert want == [], (content, item)
+
+
+def test_dictionary_options_fuzz_three_way(spark):
+    """Cased/option variant of the three-way fuzz: random dictionaries with
+    case_min_tok / conj / regex items over MIXED-CASE docs — Catalyst,
+    DuckDB rendering, and the Python full parser must agree."""
+    import pandas as pd
+    from clj_nlp_parse_spark import dialect
+    from clj_nlp_parse_spark.functions.parse import parse_document
+    from clj_nlp_parse_spark.operators import dictionary as D
+
+    rnd = random.Random(53)
+    vocab = ["Scan", "scan", "SCAN", "join", "The", "the", "and", "Dups",
+             "dups", "Table", "table", "merge", "Lines", "line"]
+    docs = []
+    for i in range(60):
+        words = [rnd.choice(vocab) for _ in range(rnd.randint(0, 12))]
+        docs.append((i, " ".join(words)))
+    items = []
+    for j in range(10):
+        k = rnd.randint(1, 3)
+        phrase = " ".join(rnd.choice(vocab) for _ in range(k))
+        items.append(D.DictItem(
+            j + 1, phrase, f"L{j}",
+            lem_min_len=0 if rnd.random() < 0.3 else -1,
+            case_min_tok=rnd.choice([-1, -1, 0, 1, 2]),
+            first_det_chop=rnd.random() < 0.7,
+            conj_regexp=rnd.random() < 0.7))
+    items.append(D.DictItem(90, "/[a-z]*an/ join", "RE1", is_regexp=True))
+    items.append(D.DictItem(91, "/[A-Z][a-z]+/", "RE2", is_regexp=True))
+    compiled = D.compile_items(items)
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    srows = D.tag_mentions(sdf, items).select(
+        "doc_id", F.explode("tok_re_mentions").alias("m")).collect()
+    got_spark = {(r.doc_id, r.m.item_id, r.m.tok_beg, r.m.tok_end)
+                 for r in srows}
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
+    w = dialect.tokens_expr("text", "duck")
+    cw = D.cased_tokens_expr("text", "duck")
+    lem = dialect.lemma_case_expr("t", "duck")
+    cl = D.clemmas_expr("cased", "lemmas", "duck")
+    m = D.mentions_sql(compiled, "words", "lemmas", "duck",
+                       cased="cased", clemmas="clemmas")
+    drows = con.sql(
+        f"WITH w AS (SELECT doc_id, {w} AS words, {cw} AS cased "
+        f"FROM documents), "
+        f"l AS (SELECT doc_id, words, cased, "
+        f"list_transform(words, t -> ({lem})) AS lemmas FROM w), "
+        f"l2 AS (SELECT *, {cl} AS clemmas FROM l) "
+        f"SELECT doc_id, unnest({m}) AS m FROM l2").fetchall()
+    got_duck = {(d, mm["item_id"], mm["tok_beg"], mm["tok_end"])
+                for d, mm in drows}
+
+    got_py = set()
+    for i, text in docs:
+        pan = parse_document(text, compiled)
+        for mm in pan["tok_re_mentions"]:
+            got_py.add((i, mm["item_id"], mm["tok_beg"], mm["tok_end"]))
+
+    assert got_spark == got_duck
+    assert got_spark == got_py
+    assert got_spark  # non-vacuous: the fuzz corpus must produce matches

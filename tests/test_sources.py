@@ -34,12 +34,34 @@ def test_rule_file_roundtrip(tmp_path):
     sources.write_regex_files(rp, fp, items)
     rules = open(rp).read()
     assert 'Annotate($0, ner, "PRODUCT")' in rules
-    assert '[{word:"teddy"}] [{word:"grams"}]' in rules
-    assert '[{lemma:"dup"}]' in rules
+    assert '[{word:/(?i)teddy/}] [{word:/(?i)grams/}]' in rules
+    assert '[{lemma:/(?i)dup/}]' in rules
     back = sources.read_regex_features(fp)
     assert back[0]["item_id"] == 123
     assert back[0]["features"] == {"food-type": "snack"}
-    assert back[1]["pattern"] == [{"field": "lemma", "word": "dup"}]
+    assert back[1]["pattern"] == [
+        {"field": "lemma", "kind": "eq", "value": "dup"}]
+
+
+def test_rule_file_case_and_regex_rendering(tmp_path):
+    items = [
+        DictItem(1, "Teddy Grams", "PRODUCT", case_min_tok=2),
+        DictItem(2, "rock & roll", "MUSIC"),
+        DictItem(3, "/[0-9]{3}/", "NUM_RE", is_regexp=True),
+    ]
+    rp, fp = str(tmp_path / "y.rules"), str(tmp_path / "y.json")
+    sources.write_regex_files(rp, fp, items)
+    rules = open(rp).read()
+    # case-sensitive items render as exact string tokens (tok_re.clj:162-166)
+    assert '[{word:"Teddy"}] [{word:"Grams"}]' in rules
+    # conj alternation renders the and|& regex (tok_re.clj:120-122)
+    assert '[{word:/(?i)(?:&|and)/}]' in rules
+    assert '[{word:/[0-9]{3}/}]' in rules
+    back = sources.read_regex_features(fp)
+    assert back[0]["case_sen"] is True
+    assert back[1]["pattern"][1]["kind"] == "conj"
+    assert back[2]["pattern"] == [
+        {"field": "word", "kind": "regex", "value": "[0-9]{3}"}]
 
 
 def test_write_feature_table_layout(spark, tmp_path):
