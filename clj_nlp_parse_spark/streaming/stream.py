@@ -77,12 +77,16 @@ def streaming_asof_carry(stream: DataFrame,
     Input is the UNIONED stream of feature rows (side='feature', carrying
     `value`) and event rows (side='event') — the streaming form of the
     batch union_window as-of (operators/asof.py). Per entity, GroupState
-    holds the latest (feature_ts, value) seen; each micro-batch is sorted
-    by (ts, side-tag) in pandas (features before events at equal ts →
-    inclusive), events emit the carried feature, and the state persists
-    across batches/restarts via the checkpoint. Exact when features are
-    not late relative to the events they serve (the standard feed order);
-    late features would need a watermark-buffered variant.
+    holds the latest (feature_ts NANOSECONDS, value) seen — full timestamp
+    resolution, so equal-ts inclusive semantics survive a restart. The
+    whole per-key group is materialized and sorted ONCE by (ts, side-tag)
+    (features before events at equal ts → inclusive): applyInPandasWithState
+    hands the group over as multiple Arrow chunks with NO ordering guarantee
+    between (or within) chunks, so any per-chunk sort that carries state
+    across chunks silently mismatches once a key exceeds one Arrow batch
+    (~2048 rows at the session setting). Exact when features are not late
+    relative to the events they serve (the standard feed order); for
+    out-of-order features use streaming_asof_buffered.
 
     Output: one row per event — (entity, event_ts, feature_ts, value).
     """
@@ -90,32 +94,32 @@ def streaming_asof_carry(stream: DataFrame,
 
     out_schema = (f"{entity} string, event_ts timestamp, "
                   f"feature_ts timestamp, {value} double")
-    state_schema = "fts_ms long, fval double"
+    state_schema = "fts_ns long, fval double"
 
     def carry(key, pdfs, state):
-        from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401
         if state.exists:
-            fts_ms, fval = state.get
+            fts_ns, fval = state.get
         else:
-            fts_ms, fval = None, None
+            fts_ns, fval = None, None
         rows = {entity: [], "event_ts": [], "feature_ts": [], value: []}
-        for pdf in pdfs:
-            pdf = pdf.copy()
+        frames = [f for f in pdfs]
+        pdf = pd.concat(frames, ignore_index=True) if frames else None
+        if pdf is not None and len(pdf):
             pdf["__tag"] = (pdf[side] != "feature").astype(int)
             pdf = pdf.sort_values([ts, "__tag"], kind="mergesort")
             for r in pdf.itertuples(index=False):
                 t = getattr(r, ts)
                 if getattr(r, side) == "feature":
-                    fts_ms = int(t.value // 10**6)  # ns → ms
+                    fts_ns = int(t.value)
                     fval = float(getattr(r, value))
                 else:
                     rows[entity].append(key[0])
                     rows["event_ts"].append(t)
                     rows["feature_ts"].append(
-                        pd.Timestamp(fts_ms, unit="ms")
-                        if fts_ms is not None else pd.NaT)
+                        pd.Timestamp(fts_ns)
+                        if fts_ns is not None else pd.NaT)
                     rows[value].append(fval)
-        state.update((fts_ms, fval))
+        state.update((fts_ns, fval))
         yield pd.DataFrame(rows)
 
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -124,6 +128,101 @@ def streaming_asof_carry(stream: DataFrame,
                 carry, outputStructType=out_schema,
                 stateStructType=state_schema, outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_asof_buffered(stream: DataFrame,
+                            entity: str = "entity_id",
+                            ts: str = "ts",
+                            side: str = "side",
+                            value: str = "fval",
+                            watermark: str = "1 hour") -> DataFrame:
+    """Watermark-buffered streaming as-of: exact even when FEATURES arrive
+    out of order (late) across micro-batches, as long as they are within the
+    watermark delay.
+
+    Contract: an event at ts_e is emitted only once the event-time watermark
+    passes ts_e. At that point every feature with feature_ts <= ts_e has
+    either arrived or is permanently late (dropped by the watermark), so the
+    carried value is final — the batch union_window as-of answer. Events and
+    features buffer in GroupState (epoch-NANOSECOND longs — full timestamp
+    resolution); an event-time timeout flushes pending events when the
+    watermark advances with no new rows for the key. Events newer than the
+    final watermark stay pending in state (they flush on the next run over
+    the same checkpoint — tested).
+
+    State is pruned: pending events, features newer than the watermark, and
+    the single latest feature at-or-below the cutoff (the only one a future
+    event can still need) — per-key state is O(out-of-orderness), not
+    O(history).
+
+    Output: one row per event — (entity, event_ts, feature_ts, value).
+    """
+    import bisect
+
+    import pandas as pd
+
+    out_schema = (f"{entity} string, event_ts timestamp, "
+                  f"feature_ts timestamp, {value} double")
+    state_schema = ("pend array<long>, fts array<long>, fvs array<double>")
+
+    def buffered(key, pdfs, state):
+        wm_ms = state.getCurrentWatermarkMs()
+        wm_ns = wm_ms * 1_000_000
+        if state.exists:
+            pend, fts, fvs = state.get
+            pend, fts, fvs = list(pend), list(fts), list(fvs)
+        else:
+            pend, fts, fvs = [], [], []
+        if not state.hasTimedOut:
+            frames = [f for f in pdfs]
+            pdf = pd.concat(frames, ignore_index=True) if frames else None
+            if pdf is not None and len(pdf):
+                for r in pdf.itertuples(index=False):
+                    t_ns = int(getattr(r, ts).value)
+                    if getattr(r, side) == "feature":
+                        fts.append(t_ns)
+                        fvs.append(float(getattr(r, value)))
+                    else:
+                        pend.append(t_ns)
+        else:
+            # timeout invocation: consume the iterator contract (empty)
+            for _ in pdfs:
+                pass
+        order = sorted(range(len(fts)), key=lambda i: fts[i])
+        fts = [fts[i] for i in order]
+        fvs = [fvs[i] for i in order]
+        pend.sort()
+        emit = [t for t in pend if t <= wm_ns]
+        pend = [t for t in pend if t > wm_ns]
+        rows = {entity: [], "event_ts": [], "feature_ts": [], value: []}
+        for t in emit:
+            j = bisect.bisect_right(fts, t) - 1  # latest fts <= t (inclusive)
+            rows[entity].append(key[0])
+            rows["event_ts"].append(pd.Timestamp(t))
+            rows["feature_ts"].append(pd.Timestamp(fts[j])
+                                      if j >= 0 else pd.NaT)
+            rows[value].append(fvs[j] if j >= 0 else None)
+        # prune features: keep everything a still-unseen or pending event
+        # could need — all features above the cutoff plus the latest at or
+        # below it (cutoff = watermark ∧ oldest pending event)
+        cutoff = min([wm_ns] + pend)
+        j = bisect.bisect_right(fts, cutoff) - 1
+        keep_from = max(j, 0)
+        fts, fvs = fts[keep_from:], fvs[keep_from:]
+        state.update((pend, fts, fvs))
+        if pend:
+            # flush as soon as the watermark moves again
+            state.setTimeoutTimestamp(max(wm_ms + 1, 1))
+        yield pd.DataFrame(rows)
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    return (stream
+            .withWatermark(ts, watermark)
+            .groupBy(entity)
+            .applyInPandasWithState(
+                buffered, outputStructType=out_schema,
+                stateStructType=state_schema, outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
 def run_available_now(sdf: DataFrame, query_name: str,

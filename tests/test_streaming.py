@@ -244,3 +244,169 @@ def test_streaming_carry_many_microbatches(spark, tmp_path):
             for r in asof.asof_join(lefts, rights, on=["entity_id"])
             .collect()}
     assert got == want
+
+
+def _write_microbatch_files(spark, path, files, schema, base_offset=600):
+    """Write each rows-list as one parquet file with pinned increasing
+    mtimes so maxFilesPerTrigger=1 processes them in order."""
+    import glob
+    import os
+    import time as time_mod
+    base_mtime = time_mod.time() - base_offset
+    for fidx, rows in enumerate(files):
+        before = set(glob.glob(f"{path}/*.parquet"))
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(path)
+        for f in set(glob.glob(f"{path}/*.parquet")) - before:
+            os.utime(f, (base_mtime + fidx * 10, base_mtime + fidx * 10))
+
+
+def test_streaming_asof_buffered_late_feature(spark, tmp_path):
+    # a feature arriving in a LATER micro-batch than the events it serves
+    # must still win (the carry variant would miss it; VERDICT r01 #8)
+    schema = "entity_id string, ts timestamp, side string, fval double"
+    p = str(tmp_path / "buf_in")
+    files = [
+        [("a", _t("2025-01-01T09:00:00"), "feature", 1.0),
+         ("a", _t("2025-01-01T10:00:00"), "event", None),
+         ("a", _t("2025-01-01T10:30:00"), "event", None)],
+        # LATE feature at 09:50 — before both events, arrives after them
+        [("a", _t("2025-01-01T09:50:00"), "feature", 2.0),
+         ("a", _t("2025-01-01T20:00:00"), "feature", 9.0)],  # advances wm
+    ]
+    _write_microbatch_files(spark, p, files, schema)
+    sdf = (spark.readStream.schema(
+        spark.createDataFrame(files[0], schema).schema)
+        .option("maxFilesPerTrigger", 1).parquet(p))
+    sink = str(tmp_path / "buf_out")
+    ST.run_available_now_to_parquet(
+        ST.streaming_asof_buffered(sdf, watermark="1 hour"),
+        sink, str(tmp_path / "buf_ckpt"))
+    got = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+           for r in spark.read.parquet(sink).collect()}
+    assert got[("a", _t("2025-01-01T10:00:00"))] == \
+        (_t("2025-01-01T09:50:00"), 2.0)
+    assert got[("a", _t("2025-01-01T10:30:00"))] == \
+        (_t("2025-01-01T09:50:00"), 2.0)
+
+
+def test_streaming_asof_buffered_pending_flush_on_restart(spark, tmp_path):
+    # events newer than the final watermark stay pending in state and flush
+    # on the next run over the same checkpoint
+    schema = "entity_id string, ts timestamp, side string, fval double"
+    p = str(tmp_path / "pend_in")
+    ckpt = str(tmp_path / "pend_ckpt")
+    sink = str(tmp_path / "pend_out")
+    in_schema = spark.createDataFrame(
+        [("a", _t("2025-01-01T09:00:00"), "feature", 1.0)], schema).schema
+    _write_microbatch_files(spark, p, [
+        [("a", _t("2025-01-01T09:00:00"), "feature", 1.0),
+         ("a", _t("2025-01-01T10:00:00"), "event", None)],
+    ], schema)
+    sdf = spark.readStream.schema(in_schema).parquet(p)
+    ST.run_available_now_to_parquet(
+        ST.streaming_asof_buffered(sdf, watermark="1 hour"), sink, ckpt)
+    # watermark never passed 10:00 → nothing emitted yet
+    assert spark.read.parquet(sink).count() == 0
+
+    _write_microbatch_files(spark, p, [
+        [("a", _t("2025-01-01T15:00:00"), "feature", 5.0)],  # advances wm
+    ], schema, base_offset=60)
+    sdf2 = spark.readStream.schema(in_schema).parquet(p)
+    ST.run_available_now_to_parquet(
+        ST.streaming_asof_buffered(sdf2, watermark="1 hour"), sink, ckpt)
+    got = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+           for r in spark.read.parquet(sink).collect()}
+    assert got[("a", _t("2025-01-01T10:00:00"))] == \
+        (_t("2025-01-01T09:00:00"), 1.0)
+
+
+def test_streaming_asof_buffered_equals_batch_shuffled(spark, tmp_path):
+    # rows randomly scattered across 5 micro-batches (features arrive out
+    # of order relative to events); a final sentinel feature far in the
+    # future flushes everything — output must equal the batch as-of
+    import random
+    from clj_nlp_parse_spark.operators import asof
+    rnd = random.Random(17)
+    schema = "entity_id string, ts timestamp, side string, fval double"
+    feats, evs = [], []
+    rows_all = []
+    for e in ["a", "b"]:
+        t = 0
+        for _ in range(40):
+            t += rnd.randint(1, 300)   # spans < 4 hours
+            ts = _t("2025-01-01T00:00:00") + dt.timedelta(seconds=t)
+            if rnd.random() < 0.4:
+                v = float(rnd.randint(0, 99))
+                feats.append((e, ts, v))
+                rows_all.append((e, ts, "feature", v))
+            else:
+                evs.append((e, ts))
+                rows_all.append((e, ts, "event", None))
+    files = [[] for _ in range(5)]
+    for r in rows_all:
+        files[rnd.randrange(5)].append(r)
+    files = [f for f in files if f]
+    # sentinel: advances the final watermark past every event
+    sentinel_ts = _t("2025-01-02T12:00:00")
+    files.append([("a", sentinel_ts, "feature", 0.0),
+                  ("b", sentinel_ts, "feature", 0.0)])
+    p = str(tmp_path / "shuf_in")
+    _write_microbatch_files(spark, p, files, schema)
+    sdf = (spark.readStream.schema(
+        spark.createDataFrame(rows_all, schema).schema)
+        .option("maxFilesPerTrigger", 1).parquet(p))
+    sink = str(tmp_path / "shuf_out")
+    ST.run_available_now_to_parquet(
+        ST.streaming_asof_buffered(sdf, watermark="10 hours"),
+        sink, str(tmp_path / "shuf_ckpt"))
+    got = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+           for r in spark.read.parquet(sink).collect()}
+    lefts = spark.createDataFrame(evs, "entity_id string, event_ts timestamp")
+    rights = spark.createDataFrame(
+        feats, "entity_id string, feature_ts timestamp, fval double")
+    want = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+            for r in asof.asof_join(lefts, rights, on=["entity_id"])
+            .collect()}
+    assert got == want
+
+
+def test_streaming_carry_multichunk_group(spark, tmp_path):
+    # >2048 rows for ONE key in ONE micro-batch → the group arrives as
+    # multiple Arrow chunks; the carry must sort the WHOLE group, not each
+    # chunk (ADVICE r01 high-severity finding)
+    import random
+    from clj_nlp_parse_spark.operators import asof
+    rnd = random.Random(23)
+    rows, feats, evs = [], [], []
+    t = 0
+    for _ in range(6000):
+        t += rnd.randint(1, 20)
+        ts = _t("2025-01-01T00:00:00") + dt.timedelta(seconds=t)
+        if rnd.random() < 0.3:
+            v = float(rnd.randint(0, 99))
+            rows.append(("e", ts, "feature", v))
+            feats.append(("e", ts, v))
+        else:
+            rows.append(("e", ts, "event", None))
+            evs.append(("e", ts))
+    schema = "entity_id string, ts timestamp, side string, fval double"
+    df = spark.createDataFrame(rows, schema)
+    p = str(tmp_path / "big_in")
+    # shuffle row order inside the file so chunk order != time order
+    df.orderBy(F.md5(F.col("ts").cast("string"))).coalesce(1) \
+        .write.mode("overwrite").parquet(p)
+    sdf = spark.readStream.schema(df.schema).parquet(p)
+    sink = str(tmp_path / "big_out")
+    ST.run_available_now_to_parquet(
+        ST.streaming_asof_carry(sdf), sink, str(tmp_path / "big_ckpt"))
+    got = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+           for r in spark.read.parquet(sink).collect()}
+    lefts = spark.createDataFrame(evs, "entity_id string, event_ts timestamp")
+    rights = spark.createDataFrame(
+        feats, "entity_id string, feature_ts timestamp, fval double")
+    want = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+            for r in asof.asof_join(lefts, rights, on=["entity_id"])
+            .collect()}
+    assert len(got) == len(evs)
+    assert got == want
