@@ -29,8 +29,10 @@ HEADLINE = [
     "asof_join_tolerance", "lag_lead", "sessionize", "backfill",
     "srl_features", "token_positional", "mention_union",
     "dedup_exact", "minhash_signatures", "lsh_pairs", "simhash",
-    "jaccard_pairs", "jaccard_pairs_prefix", "similarity_topk", "ivf_topk",
-    "text_stats",
+    # scale-path variants only: jaccard_pairs / similarity_topk stay
+    # registered as oracle baselines but are not headline (VERDICT r01 #6)
+    "jaccard_pairs_prefix", "ivf_topk",
+    "text_stats", "dict_mentions_options",
 ]
 
 

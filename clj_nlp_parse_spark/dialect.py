@@ -156,6 +156,14 @@ def go_word_cond(t: str, pos: str) -> str:
     return f"(NOT ({stopword_cond(t)}) AND {pos} IN ({tags}))"
 
 
+def pos_description_case_expr(tag: str) -> str:
+    """CASE mapping POS tag → Penn Treebank description (dialect-common),
+    completing the O12 taxonomy surface (reference parse.clj:24-112)."""
+    arms = [f"WHEN {tag} = {_q(k)} THEN {_q(v)}"
+            for k, v in sorted(schema.PENN_DESCRIPTIONS.items())]
+    return "CASE " + " ".join(arms) + " ELSE NULL END"
+
+
 def pos_type_case_expr(tag: str) -> str:
     """CASE mapping POS tag → coarse type, first-match-wins order mirroring
     reference parse.clj:114-123 (dialect-common)."""

@@ -67,7 +67,7 @@ def asof_join(
         raise ValueError("direction='forward' is implemented for the "
                          "union_window and merge_asof strategies")
     if strategy == "auto":
-        strategy = choose_asof_strategy(left, on)
+        strategy = choose_asof_strategy(left, on, right)
         if direction == "forward":
             strategy = "union_window"
     if strategy == "union_window":
@@ -97,20 +97,32 @@ def asof_join(
     return out
 
 
-def choose_asof_strategy(left, on, hot_rows_threshold: int = 4_000_000,
+def choose_asof_strategy(left, on, right=None,
+                         hot_rows_threshold: int = 4_000_000,
                          sample_rows: int = 2_000_000) -> str:
     """Pick union_window vs union_window_split from a SAMPLED key histogram
-    of the left side (measured crossover in BENCH.md: a single window
-    partition sorting >~4M rows becomes the straggler; below that the
-    split's seed/carry pre-pass costs more than it saves).
+    (measured crossover in BENCH.md: a single window partition sorting
+    >~4M rows becomes the straggler; below that the split's seed/carry
+    pre-pass costs more than it saves).
 
-    Two cheap driver jobs (count + sampled groupBy max) — negligible next
-    to the join itself at the scales where the answer matters."""
-    total = left.count()
+    The histogram covers BOTH sides when `right` is given: the union-window
+    sort cost per key is left+right rows, so a feature-heavy hot key must
+    trigger the split even when the left side looks uniform (ADVICE r01).
+
+    SIDE EFFECT: this runs two EAGER Spark jobs (count + sampled groupBy
+    max) at plan-BUILD time — a deliberate exception to the otherwise lazy
+    plan-building API, and the price of strategy='auto'. Both jobs scan key
+    columns only (column-pruned) and are negligible next to the join itself
+    at the scales where the answer matters; pass an explicit strategy to
+    stay fully lazy."""
+    keys = left.select(*on)
+    if right is not None:
+        keys = keys.unionByName(right.select(*on))
+    total = keys.count()
     if total <= hot_rows_threshold:
         return "union_window"
     frac = min(1.0, sample_rows / total)
-    row = (left.sample(fraction=frac, seed=42)
+    row = (keys.sample(fraction=frac, seed=42)
            .groupBy(*on).count()
            .agg(F.max("count").alias("m")).collect()[0])
     hot_est = (row["m"] or 0) / frac

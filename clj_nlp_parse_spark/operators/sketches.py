@@ -111,7 +111,14 @@ def cm_point_estimates(sketch: DataFrame, items: DataFrame,
                        item_col: str = "item",
                        d: int = CM_D, w: int = CM_W) -> DataFrame:
     """Estimate each item's count: min over rows of its (r, bucket) cell.
-    Broadcast the probes (tiny) against the d*w sketch."""
+    Broadcast the probes (tiny) against the d*w sketch.
+
+    Probes LEFT-join the sketch with coalesce(c, 0): a probed item whose
+    (r, b) cell is absent has count 0 there, so its estimate is 0 — the
+    Count-Min contract for items never inserted (an inner join would drop
+    the cell and overestimate, or lose the item entirely). The SKETCH is
+    the broadcast side (bounded at d*w cells; the left side of a left
+    outer join cannot be broadcast), so arbitrarily many probes scale."""
     probes = items.select(
         F.col(item_col),
         F.explode(F.expr("array(" + ", ".join(
@@ -119,7 +126,8 @@ def cm_point_estimates(sketch: DataFrame, items: DataFrame,
             + _cm_bucket_sql(r, f"cast({item_col} as string)", "spark", w)
             + ")" for r in range(d)) + ")")).alias("x")
     ).select(item_col, F.col("x.r").alias("r"), F.col("x.b").alias("b"))
-    j = sketch.join(F.broadcast(probes), ["r", "b"])
+    j = probes.join(F.broadcast(sketch), ["r", "b"], "left") \
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
     return j.groupBy(item_col).agg(F.min("c").cast("long").alias("est"))
 
 
@@ -142,6 +150,6 @@ def cm_sql(value_from: str, items_from: str, item_expr: str,
                FROM cells GROUP BY r, b),
     items AS ({items_from}),
     probes AS ({probe_selects})
-    SELECT p.item AS {item_expr}, CAST(min(s.c) AS BIGINT) AS est
-    FROM probes p JOIN sketch s ON p.r = s.r AND p.b = s.b
+    SELECT p.item AS {item_expr}, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est
+    FROM probes p LEFT JOIN sketch s ON p.r = s.r AND p.b = s.b
     GROUP BY p.item"""

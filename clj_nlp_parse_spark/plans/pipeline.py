@@ -112,21 +112,13 @@ def _doc_stats() -> Transform:
 
 @register_component("sentiment")
 def _sentiment() -> Transform:
-    from clj_nlp_parse_spark.operators.features import sentiment_features
-
-    def t(df: DataFrame) -> DataFrame:
-        id_cols = [c for c in ("doc_id", "image_id") if c in df.columns]
-        key = id_cols[0]
-        return df.join(sentiment_features(df.select(key, "text"),
-                                          id_col=key), key)
-    return t
+    # pure projection — the component appends columns in place; joining a
+    # projected copy back on the key would be an avoidable shuffle
+    from clj_nlp_parse_spark.operators.features import with_sentiment_features
+    return lambda df: with_sentiment_features(df, "text")
 
 
 @register_component("text-stats")
 def _text_stats() -> Transform:
-    from clj_nlp_parse_spark.operators.textstats import text_stats
-
-    def t(df: DataFrame) -> DataFrame:
-        key = "doc_id" if "doc_id" in df.columns else "image_id"
-        return df.join(text_stats(df.select(key, "text"), id_col=key), key)
-    return t
+    from clj_nlp_parse_spark.operators.textstats import with_text_stats
+    return lambda df: with_text_stats(df, "text")

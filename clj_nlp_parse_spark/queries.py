@@ -770,6 +770,11 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY doc_a, doc_b""",
 )
 def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BASELINE ONLY — not a scale path. The unbounded inverted-index
+    self-join goes quadratic on hot shingles at 100×; production uses
+    jaccard_pairs_prefix (exact PPJoin, same oracle, measured 18.8× faster)
+    or jaccard_pairs_capped. Kept registered so the pruning variants are
+    provably lossless against it."""
     return (DD.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
             .orderBy("doc_a", "doc_b"))
 
@@ -791,6 +796,10 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rank <= 5 ORDER BY qid, rank""",
 )
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORACLE-BASELINE ONLY — not a scale path. Brute-force full scan per
+    query by construction; production ANN is ivf_topk (cell-probe join,
+    recall-tested) or lsh_topk. Kept registered as the exact-answer
+    baseline the ANN variants are measured against."""
     emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
@@ -1163,25 +1172,28 @@ def q_sentiment_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PTYPE = dialect.pos_type_case_expr("x.pos_tag")
+_PDESC = dialect.pos_description_case_expr("x.pos_tag")
 
 
 @register(
     "pos_tag_taxonomy",
     _duck_toks_cte() + f"""
     SELECT doc_id, x.word AS word, x.pos_tag AS pos_tag,
-           coalesce(x.pos_type, 'none') AS pos_type
+           coalesce(x.pos_type, 'none') AS pos_type,
+           ({_PDESC}) AS pos_description
     FROM (SELECT doc_id, unnest(toks) AS x FROM tk)
     ORDER BY doc_id, word, pos_tag""",
 )
 def q_pos_tag_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O12 pos-tag-type taxonomy lookup per token
-    (reference parse.clj:24-123)."""
+    """O12 pos-tag-type taxonomy lookup per token, including the Penn
+    Treebank tag description (reference parse.clj:24-123)."""
     ann = tx.annotate(_docs(spark, sf_dir))
     return (ann.select("doc_id", F.explode("toks").alias("x"))
             .select("doc_id", F.col("x.word").alias("word"),
                     F.col("x.pos_tag").alias("pos_tag"),
                     F.coalesce(F.col("x.pos_type"), F.lit("none"))
-                    .alias("pos_type"))
+                    .alias("pos_type"),
+                    F.expr(_PDESC).alias("pos_description"))
             .orderBy("doc_id", "word", "pos_tag"))
 
 

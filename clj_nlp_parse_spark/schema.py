@@ -61,6 +61,53 @@ POS_TYPE_ORDER = (
 
 ALL_POS_TAGS = tuple(sorted(set(PENN_TAGS) | set(POS_TAG_LIST)))
 
+# Penn Treebank tag → human-readable description (public Penn Treebank
+# table; reference penn-treebank-pos-tags / pos-description,
+# parse.clj:24-112).
+PENN_DESCRIPTIONS = {
+    "CC": "Coordinating conjunction",
+    "CD": "Cardinal number",
+    "DT": "Determiner",
+    "EX": "Existential there",
+    "FW": "Foreign word",
+    "IN": "Preposition or subordinating conjunction",
+    "JJ": "Adjective",
+    "JJR": "Adjective, comparative",
+    "JJS": "Adjective, superlative",
+    "LS": "List item marker",
+    "MD": "Modal",
+    "NN": "Noun, singular or mass",
+    "NNS": "Noun, plural",
+    "NNP": "Proper noun, singular",
+    "NNPS": "Proper noun, plural",
+    "PDT": "Predeterminer",
+    "POS": "Possessive ending",
+    "PRP": "Personal pronoun",
+    "PRP$": "Possessive pronoun",
+    "RB": "Adverb",
+    "RBR": "Adverb, comparative",
+    "RBS": "Adverb, superlative",
+    "RP": "Particle",
+    "SYM": "Symbol",
+    "TO": "to",
+    "UH": "Interjection",
+    "VB": "Verb, base form",
+    "VBD": "Verb, past tense",
+    "VBG": "Verb, gerund or present participle",
+    "VBN": "Verb, past participle",
+    "VBP": "Verb, non-3rd person singular present",
+    "VBZ": "Verb, 3rd person singular present",
+    "WDT": "Wh-determiner",
+    "WP": "Wh-pronoun",
+    "WP$": "Possessive wh-pronoun",
+    "WRB": "Wh-adverb",
+}
+
+
+def pos_description(tag: str) -> str | None:
+    """O12: pos-description lookup (reference parse.clj:107-112)."""
+    return PENN_DESCRIPTIONS.get(tag)
+
 NONE_LABEL = "<none>"  # reference feature/util.clj none-label
 
 

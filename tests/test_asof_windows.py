@@ -244,3 +244,26 @@ def test_asof_forward_merge_strategy_matches_window(spark):
     gw = {r.event_id: (r.feature_ts, r.fval) for r in w.collect()}
     gm = {r.event_id: (r.feature_ts, r.fval) for r in m.collect()}
     assert gw == gm
+
+
+def test_asof_auto_strategy_right_side_hot_key(spark):
+    # ADVICE r01: a feature-heavy hot key must trigger the split even when
+    # the LEFT side is uniform — the union-window sort cost is left+right
+    from pyspark.sql import functions as F2
+    left = spark.range(10).select(
+        F2.lit("hot").alias("entity_id"), F2.col("id").alias("event_id"),
+        F2.timestamp_millis((F2.lit(1700000000000)
+                             + F2.col("id") * 1000).cast("long"))
+        .alias("event_ts"))
+    right = spark.range(3000).select(
+        F2.lit("hot").alias("entity_id"),
+        F2.timestamp_millis((F2.lit(1700000000000)
+                             + F2.col("id") * 7).cast("long"))
+        .alias("feature_ts"),
+        F2.col("id").cast("double").alias("fval"))
+    assert asof.choose_asof_strategy(
+        left, ["entity_id"], right,
+        hot_rows_threshold=500) == "union_window_split"
+    # left alone stays under the threshold → would have chosen plain window
+    assert asof.choose_asof_strategy(
+        left, ["entity_id"], hot_rows_threshold=500) == "union_window"

