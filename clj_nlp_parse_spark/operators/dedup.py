@@ -343,3 +343,72 @@ def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
         "hamming", F.expr("bit_count(ph_a ^ ph_b)").cast("int"))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming"))
+
+
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 50,
+                         checkpoint_every: int = 5) -> DataFrame:
+    """Connected components over a candidate-pair edge list by iterative
+    min-label propagation (the 'hash-to-min' family, cf. Rastogi et al.,
+    ICDE'13) — the standard corpus-dedup grouping step: every near-dup
+    cluster collapses to one component labeled by its smallest member id.
+
+    Each round every node takes the min label among itself and its
+    neighbors; rounds needed = graph diameter (near-dup clusters are
+    shallow — dup chains converge in a handful of rounds; max_iter is a
+    pathological-chain backstop). Per round: one equi-join + one hash agg,
+    both on the node key — no quadratic step anywhere. The convergence
+    check is an EAGER count per round (inherent to any fixpoint loop;
+    documented side effect like choose_asof_strategy), and
+    localCheckpoint() every `checkpoint_every` rounds cuts the lineage so
+    plans don't grow unboundedly.
+
+    Returns (node, component) — component = min node id reachable.
+    """
+    spark = pairs.sparkSession
+    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+             .unionByName(
+                 pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+             .distinct())
+    labels = (edges.select(F.col("u").alias("node"))
+              .distinct()
+              .withColumn("component", F.col("node")))
+    for i in range(max_iter):
+        prop = (edges.join(labels,
+                           edges["u"] == labels["node"], "inner")
+                .select(F.col("v").alias("node"), "component"))
+        new_labels = (prop.unionByName(labels)
+                      .groupBy("node")
+                      .agg(F.min("component").alias("component")))
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(df: DataFrame, threshold: float = 0.5,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 n: int = 3) -> DataFrame:
+    """Near-duplicate GROUPS + canonical-document keep list: exact n-gram
+    Jaccard pairs via the prefix-filter scale path feed connected
+    components; every document (including singletons) gets its component
+    id and keep = (doc is the smallest member = the canonical copy kept in
+    the training corpus).
+
+    The full end-to-end corpus-dedup decision the reference has no analog
+    for — pairs alone (jaccard_pairs*) don't dedup transitive chains
+    (a~b, b~c must drop BOTH b and c)."""
+    pairs = ngram_jaccard_pairs_prefix(df, threshold, id_col, text_col, n)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return (df.select(F.col(id_col))
+            .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+            .withColumn("component",
+                        F.coalesce(F.col("component"), F.col(id_col)))
+            .withColumn("keep", F.col(id_col) == F.col("component"))
+            .select(id_col, "component", "keep"))

@@ -1066,6 +1066,149 @@ def q_training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register(
+    "stratified_sample",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+        row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+          AS rn
+      FROM documents)
+    SELECT doc_id, lang FROM ranked WHERE rn <= 40
+    ORDER BY lang, doc_id""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling per language — the training-mix
+    operator ('40 docs per lang'): deterministic md5 order inside each
+    stratum, so the sample is stable across runs/clusters and joinable.
+    One window shuffle on the stratum key; quota predicate applied inside
+    the window (Spark pushes rank limits into the sort at scale)."""
+    from pyspark.sql import Window
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (docs.select("doc_id", "lang",
+                        F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") <= 40)
+            .select("doc_id", "lang")
+            .orderBy("lang", "doc_id"))
+
+
+# PII scrubbing — the corpus is synthetic word-salad with no PII, so the
+# query derives deterministic injections in-query (identical in both
+# dialects), then redacts them. Regexes are in the Java∩RE2 common subset.
+_PII_TEXT = ("CASE WHEN doc_id % 5 = 0 THEN "
+             "concat(text, ' contact u', cast(doc_id as string), "
+             "'@example.com via https://ex.com/d/', "
+             "cast(doc_id as string), ' now') ELSE text END")
+# raw Python strings = the actual regexes; the DuckDB oracle embeds them in
+# SQL literals verbatim (DuckDB keeps backslashes), the Spark side passes
+# them through the DataFrame API (no SQL-literal unescaping involved)
+_RE_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+_RE_URL = r"https?://[^ ]+"
+
+
+@register(
+    "pii_scrub",
+    f"""
+    WITH src AS (SELECT doc_id, {_PII_TEXT} AS text FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{_RE_EMAIL}')) AS BIGINT)
+        AS n_emails,
+      CAST(len(regexp_extract_all(text, '{_RE_URL}')) AS BIGINT) AS n_urls,
+      regexp_replace(regexp_replace(text, '{_RE_EMAIL}', '<EMAIL>', 'g'),
+                     '{_RE_URL}', '<URL>', 'g') AS scrubbed
+    FROM src ORDER BY doc_id""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/URL scrubbing for training corpora: count + redact emails and
+    URLs in one projection (pure Catalyst regexp — no Python, fully
+    pushdown-friendly). Counting happens before redaction; replacement
+    order (emails first) prevents the URL rule from seeing email hosts."""
+    src = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_PII_TEXT).alias("text"))
+    return (src.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_RE_EMAIL), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(_RE_URL), F.lit(0)))
+        .cast("long").alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace("text", _RE_EMAIL, "<EMAIL>"),
+            _RE_URL, "<URL>").alias("scrubbed"))
+        .orderBy("doc_id"))
+
+
+@register(
+    "repetition_stats",
+    """
+    WITH w AS (SELECT doc_id,
+                 regexp_extract_all(lower(coalesce(text, '')),
+                                    '[a-z0-9'']+') AS words
+               FROM documents),
+    g AS (SELECT doc_id,
+            unnest(CASE WHEN len(words) >= 3 THEN
+              list_transform(range(1, len(words) - 1),
+                             i -> array_to_string(words[i:i+2], ' '))
+              ELSE [] END) AS g3
+          FROM w),
+    cnt AS (SELECT doc_id, g3, count(*) AS c FROM g GROUP BY 1, 2),
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_3grams,
+              CAST(count(*) AS BIGINT) AS distinct_3grams,
+              CAST(max(c) AS BIGINT) AS top_count
+            FROM cnt GROUP BY doc_id)
+    SELECT d.doc_id,
+      coalesce(a.total_3grams, 0) AS total_3grams,
+      coalesce(a.distinct_3grams, 0) AS distinct_3grams,
+      CASE WHEN coalesce(a.total_3grams, 0) = 0 THEN 0.0 ELSE
+        1.0 - CAST(a.distinct_3grams AS DOUBLE)
+              / CAST(a.total_3grams AS DOUBLE) END AS dup_3gram_frac,
+      CASE WHEN coalesce(a.total_3grams, 0) = 0 THEN 0.0 ELSE
+        CAST(a.top_count AS DOUBLE) / CAST(a.total_3grams AS DOUBLE) END
+        AS top_3gram_frac
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    ORDER BY d.doc_id""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: duplicate-3-gram
+    fraction and most-frequent-3-gram mass. Implemented as explode + two
+    hash aggs on (doc_id, gram) — combiner-friendly, no per-row quadratic
+    scan, so a 10k-token document costs O(tokens), not O(tokens²)."""
+    docs = _docs(spark, sf_dir)
+    wd = docs.withColumn(
+        "words", F.expr(dialect.tokens_expr("text", "spark")))
+    g = wd.select(
+        "doc_id",
+        F.explode(F.expr(
+            "CASE WHEN size(words) >= 3 THEN "
+            "try_element_at(transform(array(words), ws -> "
+            "transform(sequence(1, size(ws) - 2), "
+            "i -> array_join(slice(ws, i, 3), ' '))), 1) "
+            "ELSE array() END")).alias("g3"))
+    cnt = g.groupBy("doc_id", "g3").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("total_3grams"),
+        F.count("*").cast("long").alias("distinct_3grams"),
+        F.max("c").cast("long").alias("top_count"))
+    total = F.coalesce(F.col("total_3grams"), F.lit(0))
+    return (docs.select("doc_id").join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                total.alias("total_3grams"),
+                F.coalesce(F.col("distinct_3grams"), F.lit(0))
+                .alias("distinct_3grams"),
+                F.when(total == 0, F.lit(0.0)).otherwise(
+                    F.lit(1.0) - F.col("distinct_3grams").cast("double")
+                    / F.col("total_3grams").cast("double"))
+                .alias("dup_3gram_frac"),
+                F.when(total == 0, F.lit(0.0)).otherwise(
+                    F.col("top_count").cast("double")
+                    / F.col("total_3grams").cast("double"))
+                .alias("top_3gram_frac"))
+            .orderBy("doc_id"))
+
+
 # ------------------------------------------- image pipeline (rows-only check)
 @register("image_feature_materialization")  # no SQL oracle: binary decode
 def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1375,6 +1518,46 @@ def q_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle."""
     return (DD.ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), threshold=0.5)
             .orderBy("doc_a", "doc_b"))
+
+
+# candidate-pair CTE core shared with the jaccard_pairs oracle, minus the
+# final SELECT — reused to feed the recursive connected-components oracle
+_JP_PAIRS_CTE = ORACLES["jaccard_pairs"][:ORACLES["jaccard_pairs"]
+                                         .index("SELECT doc_a")].rstrip()
+
+
+@register(
+    "dedup_groups",
+    _JP_PAIRS_CTE.replace("WITH wd", "WITH RECURSIVE wd") + f"""
+    , pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE)
+              / CAST(sa.nsh + sb.nsh - inter AS DOUBLE) >= 0.5)
+    , edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs)
+    , reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+    , comp AS (SELECT u AS node, least(u, min(v)) AS component
+               FROM reach GROUP BY u)
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           coalesce(c.component, d.doc_id) = d.doc_id AS keep
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ORDER BY d.doc_id""",
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS + canonical keep list: prefix-filtered exact Jaccard
+    pairs → iterative min-label connected components → every doc labeled
+    with its component (min member id) and keep flag. The oracle computes
+    the same components by recursive-CTE transitive closure — feasible at
+    oracle scale precisely because the engine's iterative form is the one
+    that survives 100×."""
+    return DD.dedup_groups(_docs(spark, sf_dir), threshold=0.5) \
+             .orderBy("doc_id")
 
 
 # ----------------------------------------------- positional / slice (O2, O8)

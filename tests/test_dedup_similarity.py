@@ -170,3 +170,42 @@ def test_jaccard_prefix_equals_naive(spark):
         assert naive[k][0] == pref[k][0]
         assert np.isclose(naive[k][1], pref[k][1])
     assert len(naive) > 0  # the fixture actually produces near-dups
+
+
+def test_connected_components_transitive_chain(spark):
+    from clj_nlp_parse_spark.operators import dedup as DD
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long")
+    got = {(r.node, r.component)
+           for r in DD.connected_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20), (23, 20)}
+
+
+def test_connected_components_long_path_converges(spark):
+    # a 40-node path needs ~log-diameter rounds with min-propagation plus
+    # the backstop; verifies iteration + lineage checkpointing hold up
+    from clj_nlp_parse_spark.operators import dedup as DD
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long")
+    got = {r.component for r in DD.connected_components(pairs).collect()}
+    assert got == {0}
+
+
+def test_dedup_groups_keep_semantics(spark):
+    # a~b and b~c (transitively) must BOTH drop; singletons keep themselves
+    from clj_nlp_parse_spark.operators import dedup as DD
+    base = "the fast table scan runs the fast table scan again and again"
+    docs = spark.createDataFrame([
+        (1, base),
+        (2, base + " ok"),            # near-dup of 1
+        (3, base + " ok fine"),       # near-dup of 2 (chain to 1)
+        (9, "completely different words entirely here now today"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: (r.component, r.keep)
+           for r in DD.dedup_groups(docs, threshold=0.5).collect()}
+    assert got[1] == (1, True)
+    assert got[2][0] == 1 and got[2][1] is False
+    assert got[3][0] == 1 and got[3][1] is False
+    assert got[9] == (9, True)
