@@ -1209,6 +1209,115 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@register(
+    "corpus_profile",
+    """
+    WITH w AS (SELECT doc_id, lang,
+                 len(regexp_extract_all(lower(coalesce(text, '')),
+                                        '[a-z0-9'']+')) AS n_tokens,
+                 md5(lower(trim(coalesce(text, '')))) AS text_hash
+               FROM documents),
+    r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY n_tokens, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM w),
+    base AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (n_tokens = 0) AS BIGINT) AS n_empty,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+               CAST(count(DISTINCT text_hash) AS BIGINT) AS distinct_texts
+             FROM w GROUP BY lang),
+    p50 AS (SELECT lang, CAST(n_tokens AS BIGINT) AS p50_tokens FROM r
+            WHERE rn = greatest(1, CAST(ceil(0.5 * n) AS BIGINT))),
+    p90 AS (SELECT lang, CAST(n_tokens AS BIGINT) AS p90_tokens FROM r
+            WHERE rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT)))
+    SELECT b.lang, n_docs, n_empty, total_tokens, avg_tokens,
+           distinct_texts, p50_tokens, p90_tokens
+    FROM base b JOIN p50 USING (lang) JOIN p90 USING (lang)
+    ORDER BY b.lang""",
+)
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-quality profile per language: doc/empty counts, token
+    totals, exact-dup distinct texts, and NEAREST-RANK p50/p90 token-count
+    percentiles (rank arithmetic on integers → bit-exact across engines,
+    unlike interpolated percentiles whose float op order differs). One
+    scan, one window shuffle on the stratum key + one distinct agg."""
+    from pyspark.sql import Window
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        "doc_id", "lang",
+        F.expr(f"size({dialect.tokens_expr('text', 'spark')})")
+        .alias("n_tokens"),
+        F.md5(F.expr("lower(trim(coalesce(text, '')))")).alias("text_hash"))
+    win = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    r = w.select(
+        "*",
+        F.row_number().over(win).alias("rn"),
+        F.count("*").over(Window.partitionBy("lang")).alias("n"))
+    base = w.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_if(F.col("n_tokens") == 0).cast("long").alias("n_empty"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.sum("n_tokens").cast("double") / F.count("*"))
+        .alias("avg_tokens"),
+        F.countDistinct("text_hash").cast("long").alias("distinct_texts"))
+    p50 = r.where(F.col("rn") == F.greatest(
+        F.lit(1), F.ceil(F.lit(0.5) * F.col("n")).cast("long"))) \
+        .select("lang", F.col("n_tokens").cast("long").alias("p50_tokens"))
+    p90 = r.where(F.col("rn") == F.greatest(
+        F.lit(1), F.ceil(F.lit(0.9) * F.col("n")).cast("long"))) \
+        .select("lang", F.col("n_tokens").cast("long").alias("p90_tokens"))
+    return (base.join(p50, "lang").join(p90, "lang")
+            .select("lang", "n_docs", "n_empty", "total_tokens",
+                    "avg_tokens", "distinct_texts", "p50_tokens",
+                    "p90_tokens")
+            .orderBy("lang"))
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH w AS (SELECT doc_id, lang,
+                 CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                             '[a-z0-9'']+')) AS BIGINT)
+                   AS n_tokens
+               FROM documents),
+    c AS (SELECT *, sum(n_tokens) OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM w)
+    SELECT doc_id, lang, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
+    FROM c ORDER BY lang, seq_id, doc_id""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining sequence packing: docs are laid out deterministically
+    (md5 order per language stratum) along a token axis; each doc is
+    assigned the 512-token training sequence where it STARTS (seq_id =
+    floor(start/512)) plus its offset. One window cumsum per stratum —
+    integer arithmetic only, so packing is reproducible across runs,
+    engines, and parallelism (the property a resumable 100 TB tokenize-
+    and-pack job needs)."""
+    from pyspark.sql import Window
+    docs = _docs(spark, sf_dir)
+    w = docs.select(
+        "doc_id", "lang",
+        F.expr(f"size({dialect.tokens_expr('text', 'spark')})")
+        .cast("long").alias("n_tokens"))
+    win = (Window.partitionBy("lang")
+           .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = w.withColumn("cum", F.sum("n_tokens").over(win))
+    start = F.col("cum") - F.col("n_tokens")
+    return (c.select(
+        "doc_id", "lang", "n_tokens",
+        F.floor(start / 512).cast("long").alias("seq_id"),
+        (start % 512).cast("long").alias("seq_offset"))
+        .orderBy("lang", "seq_id", "doc_id"))
+
+
 # ------------------------------------------- image pipeline (rows-only check)
 @register("image_feature_materialization")  # no SQL oracle: binary decode
 def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
