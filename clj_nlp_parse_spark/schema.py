@@ -61,47 +61,10 @@ POS_TYPE_ORDER = (
 
 ALL_POS_TAGS = tuple(sorted(set(PENN_TAGS) | set(POS_TAG_LIST)))
 
-# Penn Treebank tag → human-readable description (public Penn Treebank
-# table; reference penn-treebank-pos-tags / pos-description,
-# parse.clj:24-112).
-PENN_DESCRIPTIONS = {
-    "CC": "Coordinating conjunction",
-    "CD": "Cardinal number",
-    "DT": "Determiner",
-    "EX": "Existential there",
-    "FW": "Foreign word",
-    "IN": "Preposition or subordinating conjunction",
-    "JJ": "Adjective",
-    "JJR": "Adjective, comparative",
-    "JJS": "Adjective, superlative",
-    "LS": "List item marker",
-    "MD": "Modal",
-    "NN": "Noun, singular or mass",
-    "NNS": "Noun, plural",
-    "NNP": "Proper noun, singular",
-    "NNPS": "Proper noun, plural",
-    "PDT": "Predeterminer",
-    "POS": "Possessive ending",
-    "PRP": "Personal pronoun",
-    "PRP$": "Possessive pronoun",
-    "RB": "Adverb",
-    "RBR": "Adverb, comparative",
-    "RBS": "Adverb, superlative",
-    "RP": "Particle",
-    "SYM": "Symbol",
-    "TO": "to",
-    "UH": "Interjection",
-    "VB": "Verb, base form",
-    "VBD": "Verb, past tense",
-    "VBG": "Verb, gerund or present participle",
-    "VBN": "Verb, past participle",
-    "VBP": "Verb, non-3rd person singular present",
-    "VBZ": "Verb, 3rd person singular present",
-    "WDT": "Wh-determiner",
-    "WP": "Wh-pronoun",
-    "WP$": "Possessive wh-pronoun",
-    "WRB": "Wh-adverb",
-}
+# pos-description source table: PENN_TAGS above already carries the Penn
+# Treebank tag → description mapping (reference penn-treebank-pos-tags /
+# pos-description, parse.clj:24-112); aliased for the dialect renderer.
+PENN_DESCRIPTIONS = PENN_TAGS
 
 
 def pos_description(tag: str) -> str | None:
@@ -116,6 +79,18 @@ def pos_tag_type(tag: str) -> str | None:
         if tag in tags:
             return name
     return None
+
+
+def pos_tags(type_: str | None = None) -> frozenset[str]:
+    """O12 API surface (reference pos-tags, parse.clj:89-134): the tag set
+    of one type, or with no argument the full tag universe (Penn table ∪
+    the extra punctuation/symbol tags)."""
+    if type_ is None:
+        return frozenset(PENN_TAGS) | frozenset(POS_TAG_LIST)
+    for name, tags in POS_TYPE_ORDER:
+        if name == type_:
+            return frozenset(tags)
+    raise KeyError(f"unknown POS tag type: {type_}")
 
 
 # -------------------------------------------------------------- go-word config

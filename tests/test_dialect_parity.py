@@ -50,3 +50,17 @@ def test_tokens_expr_parity(spark):
         assert list(got) == list(srows[t]), t
         assert [m.group(0) for m in
                 dialect.TOKEN_RE_PY.finditer(t.lower())] == list(srows[t])
+
+
+def test_pos_tags_api_and_descriptions():
+    # reference pos-tags / pos-tag-types / pos-description (parse.clj:89-134)
+    from clj_nlp_parse_spark import schema
+    assert schema.pos_tags("noun") == {"NN", "NNS", "NNP", "NNPS"}
+    assert schema.pos_tags("wh") == {"WDT", "WRB", "WP", "WP$"}
+    assert "CC" in schema.pos_tags() and "-LRB-" in schema.pos_tags()
+    assert schema.pos_description("VBZ") == \
+        "Verb, 3rd person singular present"
+    assert schema.pos_description("nope") is None
+    import pytest
+    with pytest.raises(KeyError):
+        schema.pos_tags("adjectives")

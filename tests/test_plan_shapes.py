@@ -149,3 +149,44 @@ def test_composed_pipeline_zero_joins_zero_exchanges(spark):
     assert row.sentiment_utterance is not None
     assert row.lang_pred is not None
     assert row.pos_tag_count_noun is not None
+
+
+def test_pii_scrub_pure_projection(spark, sf_dir):
+    from clj_nlp_parse_spark import queries as Q
+    df = Q.QUERIES["pii_scrub"](spark, sf_dir)
+    # strip the oracle-comparison orderBy: the operator itself is the select
+    plan = _plan(df.limit(2147483647).select("doc_id", "n_emails",
+                                             "n_urls", "scrubbed"))
+    # the operator core is one Catalyst projection; the only exchange
+    # allowed is the oracle-ordering sort at the very end
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "doc_id" in scan and "text" in scan and "lang" not in scan
+
+
+def test_stratified_sample_single_shuffle(spark, sf_dir):
+    from clj_nlp_parse_spark import queries as Q
+    plan = _plan(Q.QUERIES["stratified_sample"](spark, sf_dir))
+    # one hash exchange for the stratum window + the final sort only
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_ex == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    from clj_nlp_parse_spark import queries as Q
+    plan = _plan(Q.QUERIES["sequence_packing"](spark, sf_dir))
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_ex == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_cm_point_estimates_broadcasts_sketch(spark):
+    from clj_nlp_parse_spark.operators import sketches as SK
+    df = spark.createDataFrame([("a",), ("b",)], "item string")
+    sk = SK.cm_sketch(df, "item")
+    probes = spark.createDataFrame([("a",), ("zz",)], "item string")
+    plan = _plan(SK.cm_point_estimates(sk, probes))
+    assert "BroadcastHashJoin" in plan
+    # left outer: absent cells must survive to the coalesce
+    assert "LeftOuter" in plan

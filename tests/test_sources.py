@@ -93,3 +93,13 @@ def test_write_feature_table_layout(spark, tmp_path):
         sorted(pdf[["entity_id", "event_ts"]].itertuples(index=False))
     # round trip preserves all rows
     assert spark.read.parquet(p).count() == len(rows)
+
+
+def test_feature_string_roundtrip():
+    # reference format-features / parse-features (tok_re.clj:74-83)
+    got = sources.format_features({"food-type": "snack", "pii-type": "ssn"})
+    assert got == "food-type={snack},pii-type={ssn}"
+    assert sources.parse_features(got) == {
+        "food-type": "snack", "pii-type": "ssn"}
+    assert sources.format_features({}) is None
+    assert sources.parse_features("k={v}") == {"k": "v"}
