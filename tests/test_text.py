@@ -83,3 +83,44 @@ def test_empty_and_punct_only_edge(spark):
     assert rows[2].pos_tag_count_noun == 0 and rows[2].pos_tag_ratio_noun == 0.0
     stats = {r.doc_id: r for r in features.token_features(probe).collect()}
     assert stats[2].is_question and stats[2].token_count == 0
+
+
+def test_unicode_and_degenerate_inputs_flow_through(spark):
+    """Robustness: RTL text, CJK, emoji, NULLs, 10k-char token, punct-only —
+    every major operator must produce a row (never throw) for every input.
+    The engine tokenizer is [a-z0-9']+ over lower(), so non-Latin text
+    yields zero tokens and every downstream feature zero-fills (the
+    documented contract for the multilingual-corpus edge)."""
+    from clj_nlp_parse_spark.functions import text as tx
+    from clj_nlp_parse_spark.functions.parse import parse_document
+    from clj_nlp_parse_spark.operators import dictionary as D
+    from clj_nlp_parse_spark.operators.features import with_sentiment_features
+    from clj_nlp_parse_spark.operators.textstats import with_text_stats
+    rows = [
+        (1, "مرحبا بالعالم hello world"),
+        (2, "你好世界。こんにちは！"),
+        (3, "🚀🚀 emoji only 🎉"),
+        (4, None),
+        (5, "x" * 10000),
+        (6, "?!.,;:()[]{}"),
+        (7, "mixed CASE Ünïcödé tökens"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = with_text_stats(with_sentiment_features(
+        tx.annotate(df)), "text").collect()
+    assert len(out) == len(rows)
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].words == ["hello", "world"]     # latin survives RTL mix
+    assert by_id[2].words == []                     # CJK → zero tokens
+    assert by_id[4].words == []                     # NULL ≡ empty
+    assert by_id[6].sentiment_utterance == 0        # punct-only zero-fills
+    # dictionary tagging + the full parser under the same inputs
+    items = [D.DictItem(1, "hello world", "GREET")]
+    tagged = {r.doc_id: r.tok_re_mentions
+              for r in D.tag_mentions(df, items).collect()}
+    assert [m.label for m in tagged[1]] == ["GREET"]
+    assert tagged[2] == [] and tagged[4] == []
+    compiled = D.compile_items(items)
+    for _, text in rows:
+        pan = parse_document(text or "", compiled)
+        assert pan["sents"] is not None
