@@ -34,7 +34,7 @@ HEADLINE = [
     "jaccard_pairs_prefix", "ivf_topk",
     "text_stats", "dict_mentions_options",
     "dedup_groups", "stratified_sample", "pii_scrub", "repetition_stats",
-    "corpus_profile", "sequence_packing",
+    "corpus_profile", "sequence_packing", "np_vp_chunks",
 ]
 
 

@@ -1318,6 +1318,38 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang", "seq_id", "doc_id"))
 
 
+from clj_nlp_parse_spark.operators import chunking as CH
+
+# The synthetic corpus is OOV word-salad (fallback tag NN → one giant NP
+# per doc, zero VPs), so the query derives verb/adverb/conjunction variance
+# in-query — identical replace() chains in both dialects — to exercise run
+# BREAKS, VP heads, and multi-chunk docs.
+_CHUNK_TEXT = ("replace(replace(replace(text, ' scan ', "
+               "' is running quickly '), ' merge ', "
+               "' could be waiting now '), ' sort ', ' and ')")
+
+
+@register(
+    "np_vp_chunks",
+    "WITH chunk_src AS (SELECT doc_id, " + _CHUNK_TEXT
+    + " AS text FROM documents) ("
+    + CH.chunks_sql(CH.NP_TAGS, CH.NP_HEAD_TAGS, "NP", "chunk_src")
+    + ") UNION ALL ("
+    + CH.chunks_sql(CH.VP_TAGS, CH.VP_HEAD_TAGS, "VP", "chunk_src")
+    + ") ORDER BY doc_id, label, chunk_index",
+)
+def q_np_vp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-surface deterministic shallow chunking: maximal NP and VP spans
+    over the rule tagger's output, with head election — the span-extraction
+    capability the reference gets from constituency trees
+    (stanford.clj:381-405), re-expressed as a relational runs computation
+    (explode → lag run starts → cumsum run ids → per-run agg)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_CHUNK_TEXT).alias("text"))
+    out = CH.np_chunks(docs).unionByName(CH.vp_chunks(docs))
+    return out.orderBy("doc_id", "label", "chunk_index")
+
+
 # ------------------------------------------- image pipeline (rows-only check)
 @register("image_feature_materialization")  # no SQL oracle: binary decode
 def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFrame:
