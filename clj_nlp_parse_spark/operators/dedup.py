@@ -349,17 +349,20 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b", max_iter: int = 50,
                          checkpoint_every: int = 5) -> DataFrame:
     """Connected components over a candidate-pair edge list by iterative
-    min-label propagation (the 'hash-to-min' family, cf. Rastogi et al.,
-    ICDE'13) — the standard corpus-dedup grouping step: every near-dup
-    cluster collapses to one component labeled by its smallest member id.
+    min-label propagation WITH pointer jumping (the 'hash-to-min' family,
+    cf. Rastogi et al., ICDE'13) — the standard corpus-dedup grouping step:
+    every near-dup cluster collapses to one component labeled by its
+    smallest member id.
 
-    Each round every node takes the min label among itself and its
-    neighbors; rounds needed = graph diameter (near-dup clusters are
-    shallow — dup chains converge in a handful of rounds; max_iter is a
-    pathological-chain backstop). Per round: one equi-join + one hash agg,
-    both on the node key — no quadratic step anywhere. The convergence
-    check is an EAGER count per round (inherent to any fixpoint loop;
-    documented side effect like choose_asof_strategy).
+    Each round: (1) every node takes the min label among itself and its
+    neighbors (one equi-join + one hash agg on the node key), then (2) one
+    POINTER JUMP compresses label chains — component ← that component's own
+    component — so a path of length D converges in O(log D) rounds instead
+    of D (a 300-node chain converges in 9 rounds, tested). No quadratic
+    step anywhere. The convergence check is an EAGER count per round
+    (inherent to any fixpoint loop; documented side effect like
+    choose_asof_strategy). Exceeding max_iter raises instead of silently
+    returning unconverged labels.
 
     Iterative-algorithm hygiene: the edge list is localCheckpoint()ed ONCE
     up front (otherwise EVERY round recomputes the upstream candidate-pair
@@ -384,9 +387,18 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         prop = (edges.join(labels,
                            edges["u"] == labels["node"], "inner")
                 .select(F.col("v").alias("node"), "component"))
-        new_labels = (prop.unionByName(labels)
-                      .groupBy("node")
-                      .agg(F.min("component").alias("component"))
+        stepped = (prop.unionByName(labels)
+                   .groupBy("node")
+                   .agg(F.min("component").alias("component")))
+        # pointer jump: component ← component's component (labels form a
+        # forest pointing at smaller ids, so one hop halves chain depth;
+        # every component value IS a node, so the self-join always hits)
+        ptr = stepped.select(F.col("node").alias("component"),
+                             F.col("component").alias("cc"))
+        new_labels = (stepped.join(ptr, "component", "left")
+                      .select("node",
+                              F.coalesce("cc", "component")
+                              .alias("component"))
                       .localCheckpoint())
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
@@ -394,8 +406,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                    .count())
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(graph diameter > 2^{max_iter}) — raise max_iter")
 
 
 def dedup_groups(df: DataFrame, threshold: float = 0.5,

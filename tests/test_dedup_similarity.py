@@ -184,13 +184,24 @@ def test_connected_components_transitive_chain(spark):
 
 
 def test_connected_components_long_path_converges(spark):
-    # a 40-node path needs ~log-diameter rounds with min-propagation plus
-    # the backstop; verifies iteration + lineage checkpointing hold up
+    # pointer jumping: a 300-node path converges in O(log D) rounds —
+    # max_iter=12 would be impossible for plain 1-hop propagation (300
+    # rounds) and proves the jump actually compresses chains
     from clj_nlp_parse_spark.operators import dedup as DD
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long")
-    got = {r.component for r in DD.connected_components(pairs).collect()}
+        [(i, i + 1) for i in range(300)], "doc_a long, doc_b long")
+    got = {r.component
+           for r in DD.connected_components(pairs, max_iter=12).collect()}
     assert got == {0}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+    from clj_nlp_parse_spark.operators import dedup as DD
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        DD.connected_components(pairs, max_iter=1)
 
 
 def test_dedup_groups_keep_semantics(spark):
