@@ -68,6 +68,12 @@ def parse_document(text: str, compiled: list[CompiledItem] | None = None,
     if dialect.TOKEN_RE_PY.search(text[start:].lower()):
         spans.append((start, len(text)))
     low = text.lower()
+    # surface-text source: token spans are computed on lower(text); when
+    # lower() is not length-preserving (rare Unicode, e.g. U+0130) the
+    # original-text offsets are misaligned, so surface text falls back to
+    # the lowercase form and the document matches case-insensitively —
+    # the SAME contract as the Catalyst matcher's cased_tokens_safe_expr
+    src = text if len(low) == len(text) else low
     sents = []
     all_tokens = []  # flattened with utterance token index
     utt_tok = 0
@@ -82,7 +88,7 @@ def parse_document(text: str, compiled: list[CompiledItem] | None = None,
             lem = dialect.lemma_py(w)
             tag = dialect.pos_py(w)
             tok = {
-                "text": text[m.start():m.end()],
+                "text": src[m.start():m.end()],
                 "lemma": lem,
                 "pos_tag": tag,
                 "sent_index": si,
@@ -101,7 +107,7 @@ def parse_document(text: str, compiled: list[CompiledItem] | None = None,
                 score -= 1
         score = max(-2, min(2, score))
         total_sentiment += score
-        sents.append({"text": text[b:e], "sent_index": si,
+        sents.append({"text": src[b:e], "sent_index": si,
                       "sentiment": score, "tokens": toks})
     mentions = []
     if compiled:
@@ -125,7 +131,7 @@ def parse_document(text: str, compiled: list[CompiledItem] | None = None,
                     mentions.append({
                         # text recovered by substring over char range
                         # (stanford.clj:428-431)
-                        "text": text[t0["char_beg"]:t1["char_end"]],
+                        "text": src[t0["char_beg"]:t1["char_end"]],
                         "entity_type": ci.label,
                         "ner_tag": ci.label,
                         "item_id": ci.item_id,

@@ -33,8 +33,7 @@ VP_TAGS = ("MD", "RB", "VB", "VBD", "VBG", "VBN", "VBP", "VBZ")
 VP_HEAD_TAGS = ("VB", "VBD", "VBG", "VBN", "VBP", "VBZ")
 
 
-def _q(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
+from clj_nlp_parse_spark.dialect import _q
 
 
 def chunks(df: DataFrame, tags: tuple[str, ...] = NP_TAGS,

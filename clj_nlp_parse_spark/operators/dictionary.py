@@ -189,13 +189,32 @@ def _q(s: str) -> str:
 
 
 def cased_tokens_expr(text_col: str, dialect_name: str) -> str:
-    """Original-case token array — same boundaries as dialect.tokens_expr
-    (case-insensitivity of [a-z0-9'] guarantees identical spans)."""
+    """Original-case token array. Boundaries match dialect.tokens_expr only
+    when lower() is length-preserving — use cased_tokens_safe_expr for
+    matching."""
     re_sql = "(?i)" + dialect.TOKEN_RE.replace("'", "''")
     if dialect_name == "spark":
         return (f"regexp_extract_all(coalesce({text_col}, ''), "
                 f"'({re_sql})', 1)")
     return f"regexp_extract_all(coalesce({text_col}, ''), '{re_sql}')"
+
+
+def cased_tokens_safe_expr(text_col: str, words: str,
+                           dialect_name: str) -> str:
+    """Original-case token array ALIGNED with the lowercase `words` array.
+
+    lower() can change string LENGTH for a handful of Unicode code points
+    (e.g. U+0130 'İ' → 'i' + combining dot), which shifts token boundaries
+    between the lower()-based tokenizer and a case-insensitive scan of the
+    raw text — the two arrays would misalign and case-sensitive matches
+    would report wrong spans. Guard: when lower() is not length-preserving
+    for the document, fall back to the lowercase tokens (the document then
+    matches case-INsensitively — documented contract for non-ASCII edge
+    text; the Python parser applies the same rule)."""
+    raw = f"coalesce({text_col}, '')"
+    cased = cased_tokens_expr(text_col, dialect_name)
+    return (f"CASE WHEN length(lower({raw})) = length({raw}) "
+            f"THEN {cased} ELSE {words} END")
 
 
 def cased_lemma_case_sql(tok: str, lem: str, dialect_name: str) -> str:
@@ -287,7 +306,19 @@ def mentions_sql(compiled: list[CompiledItem], words: str, lemmas: str,
     """SQL for tok_re_mentions:
     array<struct<label,item_id,tok_beg,tok_end[,features]>> — flattened over
     all items, ALL matching start positions. `features` (a map, reference
-    tok_re.clj:78-82 / ner_test.clj:46-50) is emitted when with_features."""
+    tok_re.clj:78-82 / ner_test.clj:46-50) is emitted when with_features.
+
+    Raises when the compiled items need a cased / cased-lemma array the
+    caller did not bind — a silent lowercase fallback would return wrong
+    matches for case-sensitive or regex items."""
+    need = needs_arrays(compiled)
+    if need["cased"] and cased is None:
+        raise ValueError("compiled items use case-sensitive or regex "
+                         "matching: bind the `cased` array "
+                         "(cased_tokens_safe_expr)")
+    if need["clemmas"] and clemmas is None:
+        raise ValueError("compiled items use case-sensitive lemma "
+                         "matching: bind the `clemmas` array (clemmas_expr)")
     arrs = {"words": words, "lemmas": lemmas,
             "cased": cased or words, "clemmas": clemmas or lemmas}
     parts = []
@@ -341,7 +372,8 @@ def tag_mentions(df: DataFrame, items: list[DictItem],
         cols["ls"] = "lemmas"
     if need["cased"]:
         ann = ann.withColumn(
-            "words_cased", F.expr(cased_tokens_expr(text_col, "spark")))
+            "words_cased",
+            F.expr(cased_tokens_safe_expr(text_col, "words", "spark")))
         cols["cs"] = "words_cased"
     if need["clemmas"]:
         ann = ann.withColumn(

@@ -188,11 +188,13 @@ def with_sentiment_features(df: DataFrame,
     VERDICT r01 'wrong' #3)."""
     sent_words = sentence_words_sql(text_col, "spark")
     score = sentence_sentiment_sql("ws", "spark")
+    # private temp name: a caller's own sent_scores column must survive
     scored = df.withColumn(
-        "sent_scores",
+        "__sent_scores",
         F.expr(f"transform({sent_words}, ws -> ({score}))"),
     )
-    return scored.select("*", *_sentiment_feature_cols()).drop("sent_scores")
+    return scored.select(
+        "*", *_sentiment_feature_cols("__sent_scores")).drop("__sent_scores")
 
 
 def sentiment_features(df: DataFrame, id_col: str = "doc_id",

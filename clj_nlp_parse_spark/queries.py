@@ -638,14 +638,14 @@ _OPT_TEXT = ("CASE WHEN doc_id % 3 = 0 THEN "
 
 def _dict_opt_cte() -> str:
     words = dialect.tokens_expr("text", "duck")
-    cased = D.cased_tokens_expr("text", "duck")
+    cased = D.cased_tokens_safe_expr("text", "words", "duck")
     lem = dialect.lemma_case_expr("t", "duck")
     m = D.mentions_sql(_OPT_COMPILED, "words", "lemmas", "duck",
                        cased="cased", with_features=True)
     return (f"WITH src AS (SELECT doc_id, {_OPT_TEXT} AS text "
             f"FROM documents), "
-            f"w AS (SELECT doc_id, {words} AS words, {cased} AS cased "
-            f"FROM src), "
+            f"w0 AS (SELECT doc_id, text, {words} AS words FROM src), "
+            f"w AS (SELECT doc_id, words, {cased} AS cased FROM w0), "
             f"lm AS (SELECT doc_id, words, cased, "
             f"list_transform(words, t -> ({lem})) AS lemmas FROM w), "
             f"mn AS (SELECT doc_id, {m} AS mentions FROM lm)")
@@ -749,9 +749,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash(_docs(spark, sf_dir), bits=32).orderBy("doc_id")
 
 
-@register(
-    "jaccard_pairs",
-    _WD_CTE + f"""
+# candidate-pair CTE core, shared verbatim by the jaccard_pairs oracle and
+# the recursive connected-components oracle (dedup_groups)
+_JP_CORE = _WD_CTE + f"""
     , sh AS (SELECT doc_id, {DD.word_shingles_sql('words', 3, 'duck')}
                AS shingles FROM wd)
     , sizes AS (SELECT doc_id, len(shingles) AS nsh FROM sh)
@@ -759,7 +759,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     , inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   CAST(count(*) AS BIGINT) AS inter
                 FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
+                GROUP BY 1, 2)"""
+
+
+@register(
+    "jaccard_pairs",
+    _JP_CORE + """
     SELECT doc_a, doc_b, inter,
       CAST(inter AS DOUBLE) / CAST(sa.nsh + sb.nsh - inter AS DOUBLE)
         AS jaccard
@@ -1661,15 +1666,9 @@ def q_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
-# candidate-pair CTE core shared with the jaccard_pairs oracle, minus the
-# final SELECT — reused to feed the recursive connected-components oracle
-_JP_PAIRS_CTE = ORACLES["jaccard_pairs"][:ORACLES["jaccard_pairs"]
-                                         .index("SELECT doc_a")].rstrip()
-
-
 @register(
     "dedup_groups",
-    _JP_PAIRS_CTE.replace("WITH wd", "WITH RECURSIVE wd") + f"""
+    _JP_CORE.replace("WITH wd", "WITH RECURSIVE wd") + f"""
     , pairs AS (
         SELECT doc_a, doc_b FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a

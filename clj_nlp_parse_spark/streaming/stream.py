@@ -94,11 +94,15 @@ def streaming_asof_carry(stream: DataFrame,
 
     out_schema = (f"{entity} string, event_ts timestamp, "
                   f"feature_ts timestamp, {value} double")
-    state_schema = "fts_ns long, fval double"
+    # leading version field: Spark validates state schema by TYPE only, so
+    # without it a pre-nanosecond checkpoint (fts in ms) would silently
+    # read back as ns; the (int, long, double) shape makes an old
+    # (long, double) checkpoint fail FAST at restart instead
+    state_schema = "ver int, fts_ns long, fval double"
 
     def carry(key, pdfs, state):
         if state.exists:
-            fts_ns, fval = state.get
+            _ver, fts_ns, fval = state.get
         else:
             fts_ns, fval = None, None
         rows = {entity: [], "event_ts": [], "feature_ts": [], value: []}
@@ -119,7 +123,7 @@ def streaming_asof_carry(stream: DataFrame,
                         pd.Timestamp(fts_ns)
                         if fts_ns is not None else pd.NaT)
                     rows[value].append(fval)
-        state.update((fts_ns, fval))
+        state.update((2, fts_ns, fval))
         yield pd.DataFrame(rows)
 
     from pyspark.sql.streaming.state import GroupStateTimeout

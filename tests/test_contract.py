@@ -34,7 +34,9 @@ def test_correctness_artifact_registry_sync():
     import glob
     import json
 
-    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
     if not files:
         return
     data = json.load(open(files[-1]))

@@ -174,3 +174,38 @@ def test_full_parser_golden_ner_test_clj(spark):
             if product["tok_beg"] <= t["tok_beg"]
             and t["tok_end"] <= product["tok_end"]]
     assert len(toks) == 2
+
+
+def test_unicode_length_changing_lower_falls_back(spark):
+    # U+0130 'İ' lowercases to 2 code points: the cased token array cannot
+    # align with the lower()-based tokenizer, so the document falls back to
+    # case-INSENSITIVE matching — same rule in Catalyst, DuckDB, and the
+    # Python parser (code-review finding, round 2)
+    from clj_nlp_parse_spark.functions.parse import parse_document
+    items = [D.DictItem(1, "Table Scan", "CS", case_min_tok=2)]
+    text = "İstanbul Table Scan done"
+    got = _tag(spark, items, text)
+    # fallback: lowercase tokens; item pattern is cased → matches only if
+    # lowercase equals the cased pattern — here it does not, so no match;
+    # the lowercase twin DOES match under fallback
+    assert got == []
+    items_lo = [D.DictItem(2, "table scan", "CS2", case_min_tok=2)]
+    got_lo = _tag(spark, items_lo, text)
+    assert [(g[0], g[1]) for g in got_lo] == [("CS2", 2)]
+    # the Python parser agrees (three-way contract)
+    pan = parse_document(text, D.compile_items(items_lo))
+    assert [m["ner_tag"] for m in pan["tok_re_mentions"]] == ["CS2"]
+    pan_cs = parse_document(text, D.compile_items(items))
+    assert pan_cs["tok_re_mentions"] == []
+
+
+def test_mentions_sql_raises_without_needed_arrays():
+    import pytest
+    items = [D.DictItem(1, "Teddy Grams", "P", case_min_tok=2)]
+    compiled = D.compile_items(items)
+    with pytest.raises(ValueError, match="case-sensitive or regex"):
+        D.mentions_sql(compiled, "words", "lemmas", "duck")
+    items_lem = [D.DictItem(2, "Dups", "R", lem_min_len=0, case_min_tok=0)]
+    with pytest.raises(ValueError, match="lemma"):
+        D.mentions_sql(D.compile_items(items_lem), "words", "lemmas",
+                       "duck", cased="cased")

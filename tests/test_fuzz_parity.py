@@ -260,14 +260,14 @@ def test_dictionary_options_fuzz_three_way(spark):
     con = duckdb.connect()
     con.register("documents", pd.DataFrame(docs, columns=["doc_id", "text"]))
     w = dialect.tokens_expr("text", "duck")
-    cw = D.cased_tokens_expr("text", "duck")
+    cw = D.cased_tokens_safe_expr("text", "words", "duck")
     lem = dialect.lemma_case_expr("t", "duck")
     cl = D.clemmas_expr("cased", "lemmas", "duck")
     m = D.mentions_sql(compiled, "words", "lemmas", "duck",
                        cased="cased", clemmas="clemmas")
     drows = con.sql(
-        f"WITH w AS (SELECT doc_id, {w} AS words, {cw} AS cased "
-        f"FROM documents), "
+        f"WITH w0 AS (SELECT doc_id, text, {w} AS words FROM documents), "
+        f"w AS (SELECT doc_id, words, {cw} AS cased FROM w0), "
         f"l AS (SELECT doc_id, words, cased, "
         f"list_transform(words, t -> ({lem})) AS lemmas FROM w), "
         f"l2 AS (SELECT *, {cl} AS clemmas FROM l) "
