@@ -322,3 +322,42 @@ def audit_leakage(joined: DataFrame, left_ts: str = "event_ts",
     """Zero-temporal-leakage invariant: count of rows whose matched feature
     is dated after the event. Must be 0 (north_rule)."""
     return joined.where(F.col(right_ts) > F.col(left_ts)).count()
+
+
+def incremental_asof_update(prev_out: "DataFrame", left: "DataFrame",
+                            right_full: "DataFrame", new_batch: "DataFrame",
+                            on, left_ts: str = "event_ts",
+                            right_ts: str = "feature_ts",
+                            value_cols=None,
+                            strategy: str = "union_window",
+                            direction: str = "backward") -> "DataFrame":
+    """Incremental feature-store maintenance — the production update loop:
+    a new batch of feature rows arrives; only entities the batch TOUCHES
+    are recomputed, everything else passes through from the previous
+    materialized output untouched.
+
+    At 100 TB this is the difference between rescanning the corpus per
+    feed and work proportional to the delta: affected keys = distinct keys
+    of `new_batch` (typically a tiny fraction), broadcast into a left-anti
+    join (keep untouched prev_out rows — never recomputed, never even
+    deserialized beyond the key columns) and left-semi joins that prune
+    BOTH recompute inputs at the scan (Catalyst pushes the broadcast
+    semi-join below the shuffle). Affected entities recompute against the
+    FULL feature set (`right_full` = previous features ∪ the batch — the
+    feature table the caller maintains), because a new feature row changes
+    which older feature each event resolves to.
+
+    Correctness contract (oracle-checked by the asof_incremental query and
+    property-tested): output == full asof_join(left, right_full) for ANY
+    split of features into base + batch.
+    """
+    on = list(on)
+    keys = new_batch.select(*on).distinct()
+    bkeys = F.broadcast(keys)
+    kept = prev_out.join(bkeys, on, "left_anti")
+    lf = left.join(bkeys, on, "left_semi")
+    rf = right_full.join(bkeys, on, "left_semi")
+    rec = asof_join(lf, rf, on=on, left_ts=left_ts, right_ts=right_ts,
+                    value_cols=value_cols, strategy=strategy,
+                    direction=direction)
+    return kept.unionByName(rec.select(*kept.columns))

@@ -216,6 +216,29 @@ register("asof_join", _ASOF_ORACLE)(_q_asof("union_window"))
 register("asof_join_merge", _ASOF_ORACLE)(_q_asof("merge_asof"))
 
 
+@register("asof_incremental", _ASOF_ORACLE)
+def q_asof_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental feature-store maintenance: previous output is built from
+    a BASE feature subset, then a batch (every 4th feature row) arrives and
+    only the touched entities recompute. The oracle is the FULL as-of over
+    base ∪ batch — passing proves incremental == full recompute."""
+    from clj_nlp_parse_spark.operators import asof
+    lefts, rights = _asof_sides(spark, sf_dir)
+    is_batch = F.unix_millis("fts") % 4 == 0
+    base, batch = rights.where(~is_batch), rights.where(is_batch)
+    prev = asof.asof_join(lefts, base, on=["user_id"], left_ts="ts",
+                          right_ts="fts", value_cols=["fval"])
+    out = asof.incremental_asof_update(
+        prev, lefts, rights, batch, on=["user_id"], left_ts="ts",
+        right_ts="fts", value_cols=["fval"])
+    return out.select(
+        "event_id", "user_id",
+        F.unix_millis("ts").alias("event_ts_ms"),
+        F.unix_millis("fts").alias("feature_ts_ms"),
+        "fval",
+    ).orderBy("event_id")
+
+
 @register(
     "asof_join_forward",
     """

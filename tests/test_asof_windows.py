@@ -267,3 +267,57 @@ def test_asof_auto_strategy_right_side_hot_key(spark):
     # left alone stays under the threshold → would have chosen plain window
     assert asof.choose_asof_strategy(
         left, ["entity_id"], hot_rows_threshold=500) == "union_window"
+
+
+def test_incremental_asof_update_equals_full_and_passes_through(spark):
+    # randomized split: incremental == full recompute; untouched entities
+    # literally PASS THROUGH from prev_out (proven by poisoning prev_out
+    # for an untouched key and observing the poison survive)
+    import random
+
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+    rnd = random.Random(99)
+    lefts_r, feats_r = [], []
+    base_t = dt.datetime(2025, 1, 1)
+    for e in ["a", "b", "c", "d"]:
+        t = 0
+        for i in range(25):
+            t += rnd.randint(1, 500)
+            ts = base_t + dt.timedelta(seconds=t)
+            if rnd.random() < 0.4:
+                feats_r.append((e, ts, float(rnd.randint(0, 99))))
+            else:
+                lefts_r.append((len(lefts_r), e, ts))
+    lefts = spark.createDataFrame(
+        lefts_r, "event_id long, entity_id string, event_ts timestamp")
+    rights = spark.createDataFrame(
+        feats_r, "entity_id string, feature_ts timestamp, fval double")
+    # batch = entity 'b' features newer than median-ish time
+    is_batch = (F2.col("entity_id") == "b") & \
+        (F2.col("feature_ts") > F2.lit(base_t + dt.timedelta(seconds=3000)))
+    base, batch = rights.where(~is_batch), rights.where(is_batch)
+    assert batch.count() > 0
+    prev = asof.asof_join(lefts, base, on=["entity_id"])
+    # poison an untouched entity's prev rows: pass-through must preserve it
+    poisoned = prev.withColumn(
+        "fval", F2.when(F2.col("entity_id") == "c", F2.lit(-999.0))
+        .otherwise(F2.col("fval")))
+    out = asof.incremental_asof_update(
+        poisoned, lefts, rights, batch, on=["entity_id"])
+    got = {r.event_id: (r.feature_ts, r.fval) for r in out.collect()}
+    full = {r.event_id: (r.feature_ts, r.fval)
+            for r in asof.asof_join(lefts, rights,
+                                    on=["entity_id"]).collect()}
+    for eid, (fts, fv) in full.items():
+        ent = lefts_r[eid][1]
+        if ent == "c":
+            assert got[eid][1] == -999.0 or got[eid][1] is None  # passed through
+        else:
+            assert got[eid] == (fts, fv), (eid, ent)
+    # and with NO poison, incremental == full exactly
+    out2 = asof.incremental_asof_update(
+        prev, lefts, rights, batch, on=["entity_id"])
+    got2 = {r.event_id: (r.feature_ts, r.fval) for r in out2.collect()}
+    assert got2 == full

@@ -103,3 +103,30 @@ def test_feature_string_roundtrip():
         "food-type": "snack", "pii-type": "ssn"}
     assert sources.format_features({}) is None
     assert sources.parse_features("k={v}") == {"k": "v"}
+
+
+def test_snapshot_log_time_travel_and_lineage(spark, tmp_path):
+    tp = str(tmp_path / "snap_table")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    s1 = sources.append_table_version(df1, tp)
+    s2 = sources.append_table_version(df2, tp)
+    assert (s1, s2) == (1, 2)
+    # latest sees both commits; pinned read of v1 is immune to the append
+    assert sources.read_table_version(spark, tp).count() == 3
+    v1 = sources.read_table_version(spark, tp, snapshot_id=1)
+    assert sorted(r.id for r in v1.collect()) == [1, 2]
+    # lineage metadata
+    snaps = sources.table_versions(tp)
+    assert [s["snapshot_id"] for s in snaps] == [1, 2]
+    assert snaps[1]["parent_id"] == 1
+    assert snaps[0]["added_rows"] == 2 and snaps[1]["added_rows"] == 1
+    # overwrite starts a fresh file list but HISTORY keeps time travel
+    df3 = spark.createDataFrame([(9, "z")], "id long, v string")
+    s3 = sources.append_table_version(df3, tp, op="overwrite")
+    assert sources.read_table_version(spark, tp).count() == 1
+    assert sources.read_table_version(spark, tp, snapshot_id=2).count() == 3
+    assert sources.table_versions(tp)[-1]["op"] == "overwrite"
+    import pytest
+    with pytest.raises(ValueError, match="not found"):
+        sources.read_table_version(spark, tp, snapshot_id=77)
