@@ -25,7 +25,7 @@ N_SYNTH_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "4000"))
 HEADLINE = [
     "pos_features", "doc_stats", "sentiment_features", "go_words",
     "word_count_scores", "dict_mentions", "mention_features",
-    "asof_join", "asof_join_merge", "asof_join_forward",
+    "asof_join", "asof_join_merge", "asof_join_forward", "asof_join_nearest", "asof_incremental",
     "asof_join_tolerance", "lag_lead", "sessionize", "backfill",
     "srl_features", "token_positional", "mention_union",
     "dedup_exact", "minhash_signatures", "lsh_pairs", "simhash",

@@ -60,17 +60,20 @@ def asof_join(
     on = list(on)
     value_cols = list(value_cols) if value_cols is not None else [
         c for c in right.columns if c not in on and c != right_ts]
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof direction: {direction}")
-    if direction == "forward" and strategy not in ("union_window",
-                                                   "merge_asof", "auto"):
-        raise ValueError("direction='forward' is implemented for the "
+    if direction != "backward" and strategy not in ("union_window",
+                                                    "merge_asof", "auto"):
+        raise ValueError(f"direction={direction!r} is implemented for the "
                          "union_window and merge_asof strategies")
     if strategy == "auto":
         strategy = choose_asof_strategy(left, on, right)
-        if direction == "forward":
+        if direction != "backward":
             strategy = "union_window"
-    if strategy == "union_window":
+    if strategy == "union_window" and direction == "nearest":
+        out = _asof_union_window_nearest(left, right, on, left_ts,
+                                         right_ts, value_cols)
+    elif strategy == "union_window":
         out = _asof_union_window(left, right, on, left_ts, right_ts,
                                  value_cols, direction)
     elif strategy == "merge_asof":
@@ -85,9 +88,13 @@ def asof_join(
         if direction == "backward":
             dist = F.unix_millis(F.col(left_ts).cast("timestamp")) - \
                 F.unix_millis(F.col(right_ts).cast("timestamp"))
-        else:
+        elif direction == "forward":
             dist = F.unix_millis(F.col(right_ts).cast("timestamp")) - \
                 F.unix_millis(F.col(left_ts).cast("timestamp"))
+        else:  # nearest: absolute distance
+            dist = F.abs(
+                F.unix_millis(F.col(right_ts).cast("timestamp"))
+                - F.unix_millis(F.col(left_ts).cast("timestamp")))
         bad = F.col(right_ts).isNull() | (dist > tolerance_ms)
         out = out.select(
             *[c for c in left.columns],
@@ -175,6 +182,64 @@ def _asof_union_window(left, right, on, left_ts, right_ts, value_cols,
         *[F.col(f"__m_{c}").alias(c) for c in value_cols],
     )
     return out
+
+
+def _asof_union_window_nearest(left, right, on, left_ts, right_ts,
+                               value_cols):
+    """direction='nearest' in ONE union+window pass: the same sort computes
+    both the backward carry (last over the preceding frame — inclusive at
+    equal ts, features sort first) and the forward carry (first over the
+    following frame — strictly-later features; the equal-ts case is already
+    a distance-0 backward win), then each event picks the closer match.
+    Tie (equidistant) → backward, the point-in-time-safe side (documented
+    contract; matches pd.merge_asof's backward preference on ties).
+
+    Same single shuffle as backward/forward — nearest costs one extra
+    column set, not a second pass."""
+    left_cols = left.columns
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.col(right_ts).alias("__rts"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).alias(f"__l_{c}") for c in left_cols],
+    )
+    l = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
+          for c in value_cols],
+        *[F.col(c).alias(f"__l_{c}") for c in left_cols],
+    )
+    u = r.unionByName(l)
+    base = Window.partitionBy(*on).orderBy(F.col("__ts").asc(),
+                                           F.col("__side").asc())
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    back = lambda c: F.last(c, ignorenulls=True).over(wb)
+    fwd = lambda c: F.first(c, ignorenulls=True).over(wf)
+    carried = u.select(
+        "*",
+        back("__rts").alias("__b_rts"),
+        fwd("__rts").alias("__f_rts"),
+        *[back(f"__v_{c}").alias(f"__b_{c}") for c in value_cols],
+        *[fwd(f"__v_{c}").alias(f"__f_{c}") for c in value_cols],
+    )
+    ts_ms = F.unix_millis(F.col("__ts").cast("timestamp"))
+    b_ms = F.unix_millis(F.col("__b_rts").cast("timestamp"))
+    f_ms = F.unix_millis(F.col("__f_rts").cast("timestamp"))
+    use_b = (F.col("__f_rts").isNull()
+             | (F.col("__b_rts").isNotNull()
+                & ((ts_ms - b_ms) <= (f_ms - ts_ms))))
+    pick = lambda b, f: F.when(use_b, F.col(b)).otherwise(F.col(f))
+    return carried.where(F.col("__side") == 1).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+        pick("__b_rts", "__f_rts").alias(right_ts),
+        *[pick(f"__b_{c}", f"__f_{c}").alias(c) for c in value_cols],
+    )
 
 
 def _asof_merge(left, right, on, left_ts, right_ts, value_cols,

@@ -216,6 +216,50 @@ register("asof_join", _ASOF_ORACLE)(_q_asof("union_window"))
 register("asof_join_merge", _ASOF_ORACLE)(_q_asof("merge_asof"))
 
 
+@register(
+    "asof_join_nearest",
+    """
+    WITH lefts AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_id % 3 <> 0),
+    rights AS (SELECT user_id, ts AS fts, max(value) AS fval
+               FROM events WHERE event_id % 3 = 0 GROUP BY user_id, ts),
+    b AS (SELECT l.event_id, l.user_id, l.ts, r.fts AS bfts, r.fval AS bval
+          FROM lefts l ASOF LEFT JOIN rights r
+            ON l.user_id = r.user_id AND l.ts >= r.fts),
+    f AS (SELECT l.event_id, r.fts AS ffts, r.fval AS fv
+          FROM lefts l ASOF LEFT JOIN rights r
+            ON l.user_id = r.user_id AND l.ts <= r.fts)
+    SELECT b.event_id, b.user_id, epoch_ms(b.ts) AS event_ts_ms,
+      CASE WHEN ffts IS NULL OR (bfts IS NOT NULL AND
+             epoch_ms(b.ts) - epoch_ms(bfts)
+               <= epoch_ms(ffts) - epoch_ms(b.ts))
+           THEN epoch_ms(bfts) ELSE epoch_ms(ffts) END AS feature_ts_ms,
+      CASE WHEN ffts IS NULL OR (bfts IS NOT NULL AND
+             epoch_ms(b.ts) - epoch_ms(bfts)
+               <= epoch_ms(ffts) - epoch_ms(b.ts))
+           THEN bval ELSE fv END AS fval
+    FROM b JOIN f USING (event_id)
+    ORDER BY b.event_id""",
+)
+def q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of (pd.merge_asof direction='nearest'): each
+    event takes whichever of the latest-before / earliest-after feature is
+    closer, ties → backward (the point-in-time-safe side). ONE union+window
+    pass computes both carries on the same sort — same single shuffle as
+    backward. Oracle: two DuckDB ASOF joins + the same distance CASE."""
+    from clj_nlp_parse_spark.operators import asof
+    lefts, rights = _asof_sides(spark, sf_dir)
+    j = asof.asof_join(lefts, rights, on=["user_id"], left_ts="ts",
+                       right_ts="fts", value_cols=["fval"],
+                       direction="nearest")
+    return j.select(
+        "event_id", "user_id",
+        F.unix_millis("ts").alias("event_ts_ms"),
+        F.unix_millis("fts").alias("feature_ts_ms"),
+        "fval",
+    ).orderBy("event_id")
+
+
 @register("asof_incremental", _ASOF_ORACLE)
 def q_asof_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental feature-store maintenance: previous output is built from

@@ -321,3 +321,64 @@ def test_incremental_asof_update_equals_full_and_passes_through(spark):
         prev, lefts, rights, batch, on=["entity_id"])
     got2 = {r.event_id: (r.feature_ts, r.fval) for r in out2.collect()}
     assert got2 == full
+
+
+def test_asof_nearest_vs_pandas_and_ties(spark):
+    import random
+
+    import datetime as dt
+
+    import pandas as pd
+    rnd = random.Random(41)
+    lefts_r, feats_r = [], []
+    base_t = dt.datetime(2025, 1, 1)
+    used = set()
+    for e in ["a", "b"]:
+        t = 0
+        for i in range(40):
+            t += rnd.randint(1, 400)
+            if (e, t) in used:
+                continue
+            used.add((e, t))
+            ts = base_t + dt.timedelta(seconds=t)
+            if rnd.random() < 0.4:
+                feats_r.append((e, ts, float(rnd.randint(0, 99))))
+            else:
+                lefts_r.append((len(lefts_r), e, ts))
+    lefts = spark.createDataFrame(
+        lefts_r, "event_id long, entity_id string, event_ts timestamp")
+    rights = spark.createDataFrame(
+        feats_r, "entity_id string, feature_ts timestamp, fval double")
+    out = asof.asof_join(lefts, rights, on=["entity_id"],
+                         direction="nearest")
+    got = {r.event_id: (r.feature_ts, r.fval) for r in out.collect()}
+    lp = pd.DataFrame(lefts_r, columns=["event_id", "entity_id", "event_ts"]) \
+        .sort_values("event_ts")
+    rp = pd.DataFrame(feats_r,
+                      columns=["entity_id", "feature_ts", "fval"]) \
+        .sort_values("feature_ts")
+    m = pd.merge_asof(lp, rp, left_on="event_ts", right_on="feature_ts",
+                      by="entity_id", direction="nearest")
+    want = {int(r.event_id): (None if pd.isna(r.feature_ts) else
+                              r.feature_ts.to_pydatetime(), 
+                              None if pd.isna(r.fval) else r.fval)
+            for r in m.itertuples()}
+    assert got == want
+
+    # explicit equidistant tie → backward wins (documented contract)
+    lefts2 = spark.createDataFrame(
+        [(1, "x", dt.datetime(2025, 1, 1, 0, 0, 10))],
+        "event_id long, entity_id string, event_ts timestamp")
+    rights2 = spark.createDataFrame(
+        [("x", dt.datetime(2025, 1, 1, 0, 0, 5), 1.0),
+         ("x", dt.datetime(2025, 1, 1, 0, 0, 15), 2.0)],
+        "entity_id string, feature_ts timestamp, fval double")
+    row = asof.asof_join(lefts2, rights2, on=["entity_id"],
+                         direction="nearest").collect()[0]
+    assert row.fval == 1.0  # backward side of the tie
+
+    # nearest + tolerance uses ABSOLUTE distance
+    row_t = asof.asof_join(lefts2, rights2, on=["entity_id"],
+                           direction="nearest", tolerance_ms=3000) \
+        .collect()[0]
+    assert row_t.fval is None  # both candidates 5 s away > 3 s budget
