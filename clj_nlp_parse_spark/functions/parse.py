@@ -28,6 +28,7 @@ from clj_nlp_parse_spark.operators.dictionary import (
 from clj_nlp_parse_spark.operators.features import NEGATIVE_WORDS, POSITIVE_WORDS
 
 _SENT_BOUND = re.compile(r"[.!?]+")
+_CASED_RE = re.compile(r"[a-zA-Z0-9']+")
 _POS_SET = frozenset(POSITIVE_WORDS)
 _NEG_SET = frozenset(NEGATIVE_WORDS)
 _STOP = frozenset(schema.STOPWORDS)
@@ -54,26 +55,30 @@ def parse_document(text: str, compiled: list[CompiledItem] | None = None,
     def _check():
         if deadline is not None and _time.perf_counter() > deadline:
             raise ParseTimeout()
-    # sentence spans over the raw text; a sentence must contain >= 1 token
-    # (punct-only segments are not sentences — same contract as
-    # features.sentence_words_sql in both SQL dialects)
+    # EVERY offset below is an offset into lower(text): sentence spans,
+    # token spans, char ranges. lower() can EXPAND the string (rare
+    # Unicode, e.g. U+0130), so scanning spans on the raw text would
+    # truncate trailing tokens — sentence boundaries are found on `low`
+    # too (the [.!?] boundary chars are case-invariant).
+    low = text.lower()
     spans = []
     start = 0
-    for m in _SENT_BOUND.finditer(text):
+    for m in _SENT_BOUND.finditer(low):
         _check()
-        seg = text[start:m.end()]
-        if dialect.TOKEN_RE_PY.search(seg.lower()):
+        if dialect.TOKEN_RE_PY.search(low, start, m.end()):
             spans.append((start, m.end()))
         start = m.end()
-    if dialect.TOKEN_RE_PY.search(text[start:].lower()):
-        spans.append((start, len(text)))
-    low = text.lower()
-    # surface-text source: token spans are computed on lower(text); when
-    # lower() is not length-preserving (rare Unicode, e.g. U+0130) the
+    if dialect.TOKEN_RE_PY.search(low, start):
+        spans.append((start, len(low)))
+    # surface-text source: when lower() is not length-preserving the
     # original-text offsets are misaligned, so surface text falls back to
-    # the lowercase form and the document matches case-insensitively —
-    # the SAME contract as the Catalyst matcher's cased_tokens_safe_expr
+    # the lowercase form — the SAME contract as the Catalyst matcher's
+    # cased_tokens_safe_expr
     src = text if len(low) == len(text) else low
+    # cased tokens for case-sensitive matching: the SAME ASCII-class scan
+    # of the raw text the SQL engines run, used only if it aligns 1:1 with
+    # the lowercase tokens (else the document matches case-insensitively)
+    cased_scan = _CASED_RE.findall(text)
     sents = []
     all_tokens = []  # flattened with utterance token index
     utt_tok = 0
@@ -113,6 +118,10 @@ def parse_document(text: str, compiled: list[CompiledItem] | None = None,
     if compiled:
         words = [w for w, _, _ in all_tokens]
         lemmas = [l for _, l, _ in all_tokens]
+        cased_ok = (len(cased_scan) == len(words)
+                    and all(c.lower() == w
+                            for c, w in zip(cased_scan, words)))
+        cased = cased_scan if cased_ok else words
         for ci in compiled:
             k = len(ci.pattern)
             for i in range(len(words) - k + 1):
@@ -122,7 +131,7 @@ def parse_document(text: str, compiled: list[CompiledItem] | None = None,
                 for off, p in enumerate(ci.pattern):
                     if not match_token_py(
                             ci, p, words[i + off], lemmas[i + off],
-                            all_tokens[i + off][2]["text"]):
+                            cased[i + off]):
                         ok = False
                         break
                 if ok:

@@ -137,9 +137,25 @@ def choose_asof_strategy(left, on, right=None,
             else "union_window")
 
 
+def _pack_type(right, right_ts, value_cols):
+    """Struct type bundling (feature_ts, value columns) for the window
+    carry. Carrying ONE struct instead of independent per-column carries is
+    a correctness requirement, not a style choice: independent
+    last(ignorenulls) carries would pair a matched feature's timestamp with
+    an OLDER feature's value whenever the matched row's value column is
+    NULL (a (ts, value) pair from two different feature rows — diverging
+    from pd.merge_asof and the DuckDB ASOF oracle)."""
+    from pyspark.sql import types as T
+    return T.StructType(
+        [T.StructField("rts", right.schema[right_ts].dataType)]
+        + [T.StructField(f"v_{c}", right.schema[c].dataType)
+           for c in value_cols])
+
+
 def _asof_union_window(left, right, on, left_ts, right_ts, value_cols,
                        direction: str = "backward"):
     left_cols = left.columns
+    ptype = _pack_type(right, right_ts, value_cols)
     # tag ordering gives inclusive matching at equal ts:
     #   backward: right rows sort BEFORE left rows → last() sees them
     #   forward:  right rows sort AFTER  left rows → first() over the
@@ -149,17 +165,16 @@ def _asof_union_window(left, right, on, left_ts, right_ts, value_cols,
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(r_side).alias("__side"),
-        F.col(right_ts).alias("__rts"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(F.col(right_ts).alias("rts"),
+                 *[F.col(c).alias(f"v_{c}") for c in value_cols])
+        .alias("__pack"),
         *[F.lit(None).alias(f"__l_{c}") for c in left_cols],
     )
     l = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(l_side).alias("__side"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
-          for c in value_cols],
+        F.lit(None).cast(ptype).alias("__pack"),
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
     )
     u = r.unionByName(l)
@@ -167,19 +182,16 @@ def _asof_union_window(left, right, on, left_ts, right_ts, value_cols,
                                            F.col("__side").asc())
     if direction == "backward":
         w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        carry = lambda c: F.last(c, ignorenulls=True).over(w)
+        carried = u.select(
+            "*", F.last("__pack", ignorenulls=True).over(w).alias("__m"))
     else:
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        carry = lambda c: F.first(c, ignorenulls=True).over(w)
-    carried = u.select(
-        "*",
-        carry("__rts").alias("__m_rts"),
-        *[carry(f"__v_{c}").alias(f"__m_{c}") for c in value_cols],
-    )
+        carried = u.select(
+            "*", F.first("__pack", ignorenulls=True).over(w).alias("__m"))
     out = carried.where(F.col("__side") == l_side).select(
         *[F.col(f"__l_{c}").alias(c) for c in left_cols],
-        F.col("__m_rts").alias(right_ts),
-        *[F.col(f"__m_{c}").alias(c) for c in value_cols],
+        F.col("__m.rts").alias(right_ts),
+        *[F.col(f"__m.v_{c}").alias(c) for c in value_cols],
     )
     return out
 
@@ -195,23 +207,26 @@ def _asof_union_window_nearest(left, right, on, left_ts, right_ts,
     contract; matches pd.merge_asof's backward preference on ties).
 
     Same single shuffle as backward/forward — nearest costs one extra
-    column set, not a second pass."""
+    carried struct, not a second pass. Both sides carry ONE struct (see
+    _pack_type) so NULL value columns never mix rows. A NULL event
+    timestamp matches nothing (it would otherwise sort first and grab the
+    earliest feature)."""
     left_cols = left.columns
+    ptype = _pack_type(right, right_ts, value_cols)
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        F.col(right_ts).alias("__rts"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(F.col(right_ts).alias("rts"),
+                 *[F.col(c).alias(f"v_{c}") for c in value_cols])
+        .alias("__pack"),
         *[F.lit(None).alias(f"__l_{c}") for c in left_cols],
     )
     l = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
-          for c in value_cols],
+        F.lit(None).cast(ptype).alias("__pack"),
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
     )
     u = r.unionByName(l)
@@ -219,27 +234,26 @@ def _asof_union_window_nearest(left, right, on, left_ts, right_ts,
                                            F.col("__side").asc())
     wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    back = lambda c: F.last(c, ignorenulls=True).over(wb)
-    fwd = lambda c: F.first(c, ignorenulls=True).over(wf)
     carried = u.select(
         "*",
-        back("__rts").alias("__b_rts"),
-        fwd("__rts").alias("__f_rts"),
-        *[back(f"__v_{c}").alias(f"__b_{c}") for c in value_cols],
-        *[fwd(f"__v_{c}").alias(f"__f_{c}") for c in value_cols],
+        F.last("__pack", ignorenulls=True).over(wb).alias("__b"),
+        F.first("__pack", ignorenulls=True).over(wf).alias("__f"),
     )
     ts_ms = F.unix_millis(F.col("__ts").cast("timestamp"))
-    b_ms = F.unix_millis(F.col("__b_rts").cast("timestamp"))
-    f_ms = F.unix_millis(F.col("__f_rts").cast("timestamp"))
-    use_b = (F.col("__f_rts").isNull()
-             | (F.col("__b_rts").isNotNull()
+    b_ms = F.unix_millis(F.col("__b.rts").cast("timestamp"))
+    f_ms = F.unix_millis(F.col("__f.rts").cast("timestamp"))
+    use_b = (F.col("__f").isNull()
+             | (F.col("__b").isNotNull()
                 & ((ts_ms - b_ms) <= (f_ms - ts_ms))))
-    pick = lambda b, f: F.when(use_b, F.col(b)).otherwise(F.col(f))
-    return carried.where(F.col("__side") == 1).select(
-        *[F.col(f"__l_{c}").alias(c) for c in left_cols],
-        pick("__b_rts", "__f_rts").alias(right_ts),
-        *[pick(f"__b_{c}", f"__f_{c}").alias(c) for c in value_cols],
-    )
+    m = F.when(F.col("__ts").isNull(), F.lit(None).cast(ptype)) \
+        .when(use_b, F.col("__b")).otherwise(F.col("__f"))
+    return carried.where(F.col("__side") == 1) \
+        .withColumn("__m", m) \
+        .select(
+            *[F.col(f"__l_{c}").alias(c) for c in left_cols],
+            F.col("__m.rts").alias(right_ts),
+            *[F.col(f"__m.v_{c}").alias(c) for c in value_cols],
+        )
 
 
 def _asof_merge(left, right, on, left_ts, right_ts, value_cols,
@@ -315,6 +329,11 @@ def _asof_union_window_split(left, right, on, left_ts, right_ts, value_cols,
     l = left.withColumn("__ms", ms(left_ts)) \
             .withColumn("__bk", (F.col("__ms") / bucket_ms).cast("long"))
 
+    ptype = _pack_type(right, right_ts, value_cols)
+    pack_r = F.struct(
+        F.col(right_ts).alias("rts"),
+        *[F.col(c).alias(f"v_{c}") for c in value_cols])
+
     # seeds: latest right row per (key, bucket) — small
     w_seed = (Window.partitionBy(*on, "__bk")
               .orderBy(F.col("__ms").desc()))
@@ -323,63 +342,50 @@ def _asof_union_window_split(left, right, on, left_ts, right_ts, value_cols,
 
     # buckets that have left rows, and their carry-in from earlier buckets:
     # union (needed side=0, seeds side=1) ordered by (bucket, side); a
-    # needed row sees only seeds with bucket < its own.
-    needed = l.select(*on, "__bk").distinct().withColumn("__sd", F.lit(0))
+    # needed row sees only seeds with bucket < its own. The carried value
+    # is ONE struct (see _pack_type) so a NULL value column can never pick
+    # up an older seed's value.
+    needed = (l.select(*on, "__bk").distinct()
+              .withColumn("__sd", F.lit(0))
+              .withColumn("__c", F.lit(None).cast(ptype)))
     seed_rows = seeds.select(
-        *on, "__bk", F.lit(1).alias("__sd"),
-        F.col(right_ts).alias("__c_rts"),
-        *[F.col(c).alias(f"__c_{c}") for c in value_cols])
-    for c in ["__c_rts"] + [f"__c_{c}" for c in value_cols]:
-        needed = needed.withColumn(
-            c, F.lit(None).cast(dict(seed_rows.dtypes)[c]))
+        *on, "__bk", F.lit(1).alias("__sd"), pack_r.alias("__c"))
     u = needed.select(seed_rows.columns).unionByName(seed_rows)
     w_carry = (Window.partitionBy(*on)
                .orderBy(F.col("__bk").asc(), F.col("__sd").asc())
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carry = (u.select(
         *on, "__bk", "__sd",
-        F.last("__c_rts", ignorenulls=True).over(w_carry).alias("__in_rts"),
-        *[F.last(f"__c_{c}", ignorenulls=True).over(w_carry)
-          .alias(f"__in_{c}") for c in value_cols])
-        .where((F.col("__sd") == 0) & F.col("__in_rts").isNotNull()))
+        F.last("__c", ignorenulls=True).over(w_carry).alias("__in"))
+        .where((F.col("__sd") == 0) & F.col("__in").isNotNull()))
 
     # assemble the per-(key, bucket) union: carry-in (sorts first), rights,
     # lefts — then one window partitioned by (key, bucket)
-    rt_type = right.schema[right_ts].dataType
-    def _vals(prefix_df, src):
-        return prefix_df
     r_u = r.select(
         *on, "__bk", F.col("__ms"), F.lit(0).alias("__side"),
-        F.col(right_ts).alias("__rts"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        pack_r.alias("__pack"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
           for c in left_cols])
     c_u = carry.select(
         *on, "__bk", F.lit(LONG_MIN).alias("__ms"),
         F.lit(-1).alias("__side"),
-        F.col("__in_rts").alias("__rts"),
-        *[F.col(f"__in_{c}").alias(f"__v_{c}") for c in value_cols],
+        F.col("__in").alias("__pack"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
           for c in left_cols])
     l_u = l.select(
         *on, "__bk", F.col("__ms"), F.lit(1).alias("__side"),
-        F.lit(None).cast(rt_type).alias("__rts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__v_{c}")
-          for c in value_cols],
+        F.lit(None).cast(ptype).alias("__pack"),
         *[F.col(c).alias(f"__l_{c}") for c in left_cols])
     u_all = r_u.unionByName(c_u).unionByName(l_u)
     w = (Window.partitionBy(*on, "__bk")
          .orderBy(F.col("__ms").asc(), F.col("__side").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     carried = u_all.select(
-        "*",
-        F.last("__rts", ignorenulls=True).over(w).alias("__m_rts"),
-        *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-          for c in value_cols])
+        "*", F.last("__pack", ignorenulls=True).over(w).alias("__m"))
     return carried.where(F.col("__side") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in left_cols],
-        F.col("__m_rts").alias(right_ts),
-        *[F.col(f"__m_{c}").alias(c) for c in value_cols])
+        F.col("__m.rts").alias(right_ts),
+        *[F.col(f"__m.v_{c}").alias(c) for c in value_cols])
 
 
 def audit_leakage(joined: DataFrame, left_ts: str = "event_ts",
@@ -395,7 +401,8 @@ def incremental_asof_update(prev_out: "DataFrame", left: "DataFrame",
                             right_ts: str = "feature_ts",
                             value_cols=None,
                             strategy: str = "union_window",
-                            direction: str = "backward") -> "DataFrame":
+                            direction: str = "backward",
+                            tolerance_ms: int | None = None) -> "DataFrame":
     """Incremental feature-store maintenance — the production update loop:
     a new batch of feature rows arrives; only entities the batch TOUCHES
     are recomputed, everything else passes through from the previous
@@ -424,5 +431,5 @@ def incremental_asof_update(prev_out: "DataFrame", left: "DataFrame",
     rf = right_full.join(bkeys, on, "left_semi")
     rec = asof_join(lf, rf, on=on, left_ts=left_ts, right_ts=right_ts,
                     value_cols=value_cols, strategy=strategy,
-                    direction=direction)
+                    direction=direction, tolerance_ms=tolerance_ms)
     return kept.unionByName(rec.select(*kept.columns))

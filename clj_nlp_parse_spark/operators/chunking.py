@@ -9,9 +9,11 @@ SQL-checkable contract.
 Contract: a chunk is a MAXIMAL run of consecutive tokens whose tag is in
 the chunk's tag set, kept only if the run contains at least one head tag
 (noun for NP, verb for VP). The head is the LAST head-tagged token in the
-run. Runs never cross sentence boundaries because tagging is per-token and
-positions are utterance-level; the simplified single-sentence contract is
-documented (sentence-bounded runs would add the sent_index to the run key).
+run. Positions are UTTERANCE-level and punctuation is not tokenized, so a
+run MAY span a sentence boundary ('the cat. the dog' is one NP run) — the
+documented simplification; sentence-bounded chunking would add the
+sentence index (from the sentence splitter's cumulative token counts) to
+the run key.
 
 Scale shape: explode tokens with position → lag() per doc marks run starts
 → window cumsum assigns run ids → one hash agg per (doc, run) → filter on

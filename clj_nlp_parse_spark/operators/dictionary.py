@@ -189,10 +189,14 @@ def _q(s: str) -> str:
 
 
 def cased_tokens_expr(text_col: str, dialect_name: str) -> str:
-    """Original-case token array. Boundaries match dialect.tokens_expr only
-    when lower() is length-preserving — use cased_tokens_safe_expr for
-    matching."""
-    re_sql = "(?i)" + dialect.TOKEN_RE.replace("'", "''")
+    """Original-case token array from an EXPLICIT ASCII class
+    ([a-zA-Z0-9']) — deliberately NOT (?i): Java's (?i) is ASCII-only but
+    RE2's folds Unicode (U+212A KELVIN SIGN ∈ (?i)[a-z]), so the two
+    engines would tokenize such text differently. The explicit class is
+    identical in Java, RE2, and Python re. Boundaries still only match
+    dialect.tokens_expr when the scan aligns — use cased_tokens_safe_expr
+    for matching."""
+    re_sql = "[a-zA-Z0-9'']+"
     if dialect_name == "spark":
         return (f"regexp_extract_all(coalesce({text_col}, ''), "
                 f"'({re_sql})', 1)")
@@ -201,20 +205,31 @@ def cased_tokens_expr(text_col: str, dialect_name: str) -> str:
 
 def cased_tokens_safe_expr(text_col: str, words: str,
                            dialect_name: str) -> str:
-    """Original-case token array ALIGNED with the lowercase `words` array.
+    """Original-case token array VERIFIED element-wise against the
+    lowercase `words` array.
 
-    lower() can change string LENGTH for a handful of Unicode code points
-    (e.g. U+0130 'İ' → 'i' + combining dot), which shifts token boundaries
-    between the lower()-based tokenizer and a case-insensitive scan of the
-    raw text — the two arrays would misalign and case-sensitive matches
-    would report wrong spans. Guard: when lower() is not length-preserving
-    for the document, fall back to the lowercase tokens (the document then
-    matches case-INsensitively — documented contract for non-ASCII edge
-    text; the Python parser applies the same rule)."""
-    raw = f"coalesce({text_col}, '')"
+    lower() can change string LENGTH (U+0130 'İ' → 'i' + combining dot),
+    and non-ASCII letters that lowercase INTO the token class (U+212A
+    KELVIN SIGN → 'k') split the cased scan differently from the
+    lower()-then-tokenize path — either way the arrays misalign and
+    case-sensitive matches would probe wrong positions. Guard: keep the
+    cased array only when it aligns EXACTLY (same length AND
+    lower(cased[i]) == words[i] for every i); otherwise fall back to the
+    lowercase tokens — the document then matches case-INsensitively
+    (documented contract for non-ASCII edge text; the Python parser
+    applies the same rule). `words` must be a bound COLUMN (not an
+    expression) — it is referenced inside a lambda."""
     cased = cased_tokens_expr(text_col, dialect_name)
-    return (f"CASE WHEN length(lower({raw})) = length({raw}) "
-            f"THEN {cased} ELSE {words} END")
+    if dialect_name == "spark":
+        return (f"try_element_at(transform(array({cased}), c -> "
+                f"CASE WHEN size(c) = size({words}) AND "
+                f"forall(zip_with(c, {words}, (x, y) -> lower(x) = y), "
+                f"b -> b) THEN c ELSE {words} END), 1)")
+    return (f"list_transform([{cased}], c -> "
+            f"CASE WHEN len(c) = len({words}) AND "
+            f"len(list_filter(range(1, len(c) + 1), "
+            f"i -> lower(c[i]) != {words}[i])) = 0 "
+            f"THEN c ELSE {words} END)[1]")
 
 
 def cased_lemma_case_sql(tok: str, lem: str, dialect_name: str) -> str:

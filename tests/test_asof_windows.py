@@ -382,3 +382,59 @@ def test_asof_nearest_vs_pandas_and_ties(spark):
                            direction="nearest", tolerance_ms=3000) \
         .collect()[0]
     assert row_t.fval is None  # both candidates 5 s away > 3 s budget
+
+
+def test_asof_null_feature_value_not_replaced_by_older(spark):
+    # round-2 review: the window carry must move (ts, value) as ONE struct;
+    # independent ignorenulls carries paired a matched feature's ts with an
+    # OLDER feature's value whenever the matched value was NULL
+    import datetime as dt
+    lefts = spark.createDataFrame(
+        [(1, "u", dt.datetime(2025, 1, 1, 0, 0, 21))],
+        "event_id long, entity_id string, event_ts timestamp")
+    rights = spark.createDataFrame(
+        [("u", dt.datetime(2025, 1, 1, 0, 0, 10), 1.0),
+         ("u", dt.datetime(2025, 1, 1, 0, 0, 20), None)],
+        "entity_id string, feature_ts timestamp, fval double")
+    for strategy in ("union_window", "union_window_split", "merge_asof"):
+        row = asof.asof_join(lefts, rights, on=["entity_id"],
+                             strategy=strategy).collect()[0]
+        assert row.feature_ts == dt.datetime(2025, 1, 1, 0, 0, 20), strategy
+        assert row.fval is None, strategy
+    row_n = asof.asof_join(lefts, rights, on=["entity_id"],
+                           direction="nearest").collect()[0]
+    assert row_n.feature_ts == dt.datetime(2025, 1, 1, 0, 0, 20)
+    assert row_n.fval is None
+
+
+def test_asof_nearest_null_event_ts_matches_nothing(spark):
+    import datetime as dt
+    lefts = spark.createDataFrame(
+        [(1, "u", None)],
+        "event_id long, entity_id string, event_ts timestamp")
+    rights = spark.createDataFrame(
+        [("u", dt.datetime(2025, 1, 1), 1.0)],
+        "entity_id string, feature_ts timestamp, fval double")
+    row = asof.asof_join(lefts, rights, on=["entity_id"],
+                         direction="nearest").collect()[0]
+    assert row.feature_ts is None and row.fval is None
+
+
+def test_incremental_asof_forwards_tolerance(spark):
+    import datetime as dt
+    lefts = spark.createDataFrame(
+        [(1, "u", dt.datetime(2025, 1, 1, 2, 0, 0))],
+        "event_id long, entity_id string, event_ts timestamp")
+    base = spark.createDataFrame(
+        [("u", dt.datetime(2025, 1, 1, 0, 0, 0), 1.0)],
+        "entity_id string, feature_ts timestamp, fval double")
+    batch = spark.createDataFrame(
+        [("u", dt.datetime(2025, 1, 1, 0, 30, 0), 2.0)],
+        "entity_id string, feature_ts timestamp, fval double")
+    rights = base.unionByName(batch)
+    tol = 3600 * 1000  # 1 hour: both features are stale for the 02:00 event
+    prev = asof.asof_join(lefts, base, on=["entity_id"], tolerance_ms=tol)
+    out = asof.incremental_asof_update(
+        prev, lefts, rights, batch, on=["entity_id"], tolerance_ms=tol)
+    row = out.collect()[0]
+    assert row.feature_ts is None and row.fval is None

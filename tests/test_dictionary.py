@@ -209,3 +209,59 @@ def test_mentions_sql_raises_without_needed_arrays():
     with pytest.raises(ValueError, match="lemma"):
         D.mentions_sql(D.compile_items(items_lem), "words", "lemmas",
                        "duck", cased="cased")
+
+
+def test_kelvin_sign_falls_back_in_all_three_paths(spark):
+    # U+212A lowercases INTO the token class ('k'), so the ASCII cased scan
+    # splits differently from lower()-then-tokenize; all three paths must
+    # agree on falling back to case-insensitive matching (round-2 review)
+    import duckdb
+    import pandas as pd
+    from clj_nlp_parse_spark import dialect
+    from clj_nlp_parse_spark.functions.parse import parse_document
+    text = "xKx Table rest"
+    items = [D.DictItem(1, "Table", "CS", case_min_tok=0)]
+    compiled = D.compile_items(items)
+    # Spark
+    got_spark = _tag(spark, items, text)
+    # Python parser
+    pan = parse_document(text, compiled)
+    got_py = sorted((m["ner_tag"], m["item_id"], m["tok_beg"], m["tok_end"])
+                    for m in pan["tok_re_mentions"])
+    # DuckDB rendering
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame([(1, text)],
+                                           columns=["doc_id", "text"]))
+    w = dialect.tokens_expr("text", "duck")
+    cw = D.cased_tokens_safe_expr("text", "words", "duck")
+    lem = dialect.lemma_case_expr("t", "duck")
+    m = D.mentions_sql(compiled, "words", "lemmas", "duck", cased="cased")
+    drows = con.sql(
+        f"WITH w0 AS (SELECT doc_id, text, {w} AS words FROM documents), "
+        f"w AS (SELECT doc_id, words, {cw} AS cased FROM w0), "
+        f"l AS (SELECT doc_id, words, cased, "
+        f"list_transform(words, t -> ({lem})) AS lemmas FROM w) "
+        f"SELECT unnest({m}) AS m FROM l").fetchall()
+    got_duck = sorted((r[0]["label"], r[0]["item_id"], r[0]["tok_beg"],
+                       r[0]["tok_end"]) for r in drows)
+    # fallback = case-insensitive: cased item 'Table' cannot match the
+    # lowercase fallback tokens → NO match, identically everywhere
+    assert got_spark == got_py == got_duck == []
+    # and the lowercase twin matches in all three under the same fallback
+    items_lo = [D.DictItem(2, "table", "CS2", case_min_tok=0)]
+    assert len(_tag(spark, items_lo, text)) == 1
+    assert len(parse_document(text, D.compile_items(items_lo))
+               ["tok_re_mentions"]) == 1
+
+
+def test_parse_document_expanding_lower_keeps_trailing_tokens():
+    # round-2 review: sentence spans must be computed on lower(text) —
+    # U+0130 expansion previously truncated trailing tokens
+    from clj_nlp_parse_spark.functions.parse import parse_document
+    pan = parse_document("İstanbul Table Scan done")
+    words = [t["text"] for s in pan["sents"] for t in s["tokens"]]
+    assert words[-1] == "done"
+    assert len(words) == 5  # i(combining split) stanbul table scan done
+    pan2 = parse_document("İx. done deal")
+    words2 = [t["text"] for s in pan2["sents"] for t in s["tokens"]]
+    assert "deal" in words2 and "done" in words2

@@ -130,3 +130,22 @@ def test_snapshot_log_time_travel_and_lineage(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="not found"):
         sources.read_table_version(spark, tp, snapshot_id=77)
+
+
+def test_snapshot_concurrent_commit_detected(spark, tmp_path, monkeypatch):
+    # two writers race from the same parent: writer B commits v2 first;
+    # writer A (whose snapshot listing is stale) must FAIL loudly on its
+    # exclusive commit, not clobber B's v2
+    import pytest
+    tp = str(tmp_path / "race_table")
+    df1 = spark.createDataFrame([(1, "a")], "id long, v string")
+    sources.append_table_version(df1, tp)            # v1
+    stale = sources.table_versions(tp)               # A's view: [v1]
+    sources.append_table_version(df1, tp)            # B commits v2
+    v2 = sources.table_versions(tp)[-1]
+    monkeypatch.setattr(sources, "table_versions", lambda p: stale)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        sources.append_table_version(df1, tp)        # A: sid=2 → EEXIST
+    monkeypatch.undo()
+    # B's commit is intact
+    assert sources.table_versions(tp)[-1] == v2
