@@ -149,3 +149,29 @@ def test_snapshot_concurrent_commit_detected(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     # B's commit is intact
     assert sources.table_versions(tp)[-1] == v2
+
+
+def test_snapshot_vacuum_expires_and_sweeps_orphans(spark, tmp_path):
+    import glob
+    import os
+    tp = str(tmp_path / "vac_table")
+    for i in range(4):
+        df = spark.createDataFrame([(i, "x")], "id long, v string")
+        sources.append_table_version(df, tp)
+    # orphan data dir (a lost concurrent commit)
+    orphan = os.path.join(tp, "data", "s9-deadbeef")
+    os.makedirs(orphan)
+    spark.createDataFrame([(99, "o")], "id long, v string") \
+        .coalesce(1).write.mode("overwrite").parquet(orphan)
+    res = sources.expire_table_versions(tp, keep_last=2)
+    assert res["expired_snapshots"] == [1, 2]
+    assert res["deleted_files"] >= 1
+    assert not os.path.exists(orphan)
+    # surviving snapshots still read correctly (v3 = 3 rows, v4 = 4 rows)
+    assert sources.read_table_version(spark, tp, snapshot_id=3).count() == 3
+    assert sources.read_table_version(spark, tp).count() == 4
+    snaps = sources.table_versions(tp)
+    assert [s["snapshot_id"] for s in snaps] == [3, 4]
+    import pytest
+    with pytest.raises(ValueError, match="not found"):
+        sources.read_table_version(spark, tp, snapshot_id=1)
