@@ -1003,6 +1003,63 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("id_a", "id_b")
 
 
+def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phash_near_dup corpus (base + injected hamming-1 near-dups)."""
+    docs = _docs(spark, sf_dir)
+    base = docs.select("doc_id", F.expr(_PH_SPARK).alias("ph"))
+    dup1 = base.where(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("ph ^ 1").alias("ph"))
+    dup3 = base.where(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr("ph ^ 21").alias("ph"))
+    return base.unionByName(dup1).unionByName(dup3)
+
+
+@register(
+    "image_dedup_groups",
+    f"""
+    WITH RECURSIVE base AS (SELECT doc_id, {_PH_DUCK} AS ph FROM documents),
+    allv AS (SELECT doc_id, ph FROM base
+             UNION ALL
+             SELECT doc_id + 1000000, xor(ph, 1) FROM base WHERE doc_id < 25
+             UNION ALL
+             SELECT doc_id + 2000000, xor(ph, 21) FROM base WHERE doc_id < 5),
+    pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
+              FROM allv a JOIN allv b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.ph, b.ph)) <= 2),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+    comp AS (SELECT u AS node, least(u, min(v)) AS component
+             FROM reach GROUP BY u)
+    SELECT a.doc_id AS image_id,
+           coalesce(c.component, a.doc_id) AS component,
+           coalesce(c.component, a.doc_id) = a.doc_id AS keep
+    FROM allv a LEFT JOIN comp c ON c.node = a.doc_id
+    ORDER BY a.doc_id""",
+)
+def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-image dedup decision end-to-end: phash hamming pairs
+    (pigeonhole-banded equi-join, never quadratic) → connected components →
+    one canonical image kept per perceptual-duplicate cluster. Same
+    recursive-closure oracle pattern as dedup_groups; the injected
+    hamming-1 duplicates MUST collapse onto their originals."""
+    allv = _phash_corpus(spark, sf_dir)
+    pairs = DD.phash_near_dup_pairs(allv, max_hamming=2, phash_col="ph")
+    comp = DD.connected_components(pairs, "id_a", "id_b")
+    return (allv.select(F.col("doc_id").alias("image_id"))
+            .join(comp.withColumnRenamed("node", "image_id"),
+                  "image_id", "left")
+            .withColumn("component",
+                        F.coalesce(F.col("component"), F.col("image_id")))
+            .withColumn("keep", F.col("image_id") == F.col("component"))
+            .select("image_id", "component", "keep")
+            .orderBy("image_id"))
+
+
 @register(
     "tfidf_top_terms",
     _WD_CTE + """
