@@ -430,3 +430,36 @@ def dedup_groups(df: DataFrame, threshold: float = 0.5,
                         F.coalesce(F.col("component"), F.col(id_col)))
             .withColumn("keep", F.col(id_col) == F.col("component"))
             .select(id_col, "component", "keep"))
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, n: int = 5,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  eval_id_col: str = "doc_id") -> DataFrame:
+    """Eval-set decontamination — the standard pretraining hygiene step:
+    flag every training document sharing at least one word n-gram with any
+    evaluation document (the GPT-3 appendix-C / Llama contamination rule
+    shape, n-gram membership not similarity, so ONE leaked answer string is
+    enough to drop a doc).
+
+    Scale shape: the eval side is tiny relative to the corpus — its
+    distinct shingles are BROADCAST into a left-semi probe of the exploded
+    training shingles, so the corpus pays one scan + one broadcast probe
+    and NO shuffle of training data; contaminated ids then anti-join back.
+    Output: (id, contaminated, keep) for every training doc.
+    """
+    t_sh = (train.withColumn(
+        "words", F.expr(dialect.tokens_expr(text_col, "spark")))
+        .withColumn("__sh", F.expr(word_shingles_sql("words", n, "spark")))
+        .select(F.col(id_col), F.explode("__sh").alias("s")))
+    e_sh = (eval_df.withColumn(
+        "words", F.expr(dialect.tokens_expr(text_col, "spark")))
+        .withColumn("__sh", F.expr(word_shingles_sql("words", n, "spark")))
+        .select(F.explode("__sh").alias("s")).distinct())
+    bad = (t_sh.join(F.broadcast(e_sh), "s", "left_semi")
+           .select(id_col).distinct())
+    return (train.select(F.col(id_col))
+            .join(bad.withColumn("__c", F.lit(True)), id_col, "left")
+            .withColumn("contaminated",
+                        F.coalesce(F.col("__c"), F.lit(False)))
+            .withColumn("keep", ~F.col("contaminated"))
+            .select(id_col, "contaminated", "keep"))

@@ -1196,6 +1196,35 @@ def q_training_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate",
+    _WD_CTE + f"""
+    , sh AS (SELECT doc_id, {DD.word_shingles_sql('words', 3, 'duck')}
+               AS shingles FROM wd)
+    , ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+             WHERE doc_id % 97 = 0)
+    , tr AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+             WHERE doc_id % 97 <> 0)
+    , bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON tr.s = ev.s)
+    SELECT d.doc_id, b.doc_id IS NOT NULL AS contaminated,
+           b.doc_id IS NULL AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN bad b ON b.doc_id = d.doc_id
+    ORDER BY d.doc_id""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (GPT-3 appendix-C-shaped): every training
+    doc sharing a 3-gram with the held-out eval split (doc_id % 97 = 0) is
+    flagged (n=3 matches the synthetic corpus's short-doc scale; production
+    uses 8-13); eval shingles broadcast into a semi-probe — the corpus pays
+    one scan, no training-side shuffle."""
+    from clj_nlp_parse_spark.operators.dedup import decontaminate
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    return decontaminate(tr, ev, n=3).orderBy("doc_id")
+
+
+@register(
     "stratified_sample",
     """
     WITH ranked AS (

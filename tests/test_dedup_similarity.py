@@ -220,3 +220,20 @@ def test_dedup_groups_keep_semantics(spark):
     assert got[2][0] == 1 and got[2][1] is False
     assert got[3][0] == 1 and got[3][1] is False
     assert got[9] == (9, True)
+
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    from clj_nlp_parse_spark.operators import dedup as DD
+    ev = spark.createDataFrame(
+        [(100, "the secret answer is forty two exactly")],
+        "doc_id long, text string")
+    tr = spark.createDataFrame([
+        (1, "prefix words then the secret answer is hidden here"),
+        (2, "completely unrelated training text entirely"),
+        (3, "answer is forty something else"),
+    ], "doc_id long, text string")
+    got = {r.doc_id: r.contaminated
+           for r in DD.decontaminate(tr, ev, n=4).collect()}
+    # doc 1 shares the 4-gram 'the secret answer is'; doc 3 shares only a
+    # 3-gram ('answer is forty') — below n, clean; doc 2 clean
+    assert got == {1: True, 2: False, 3: False}
