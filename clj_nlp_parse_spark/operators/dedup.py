@@ -433,8 +433,8 @@ def dedup_groups(df: DataFrame, threshold: float = 0.5,
 
 
 def decontaminate(train: DataFrame, eval_df: DataFrame, n: int = 5,
-                  id_col: str = "doc_id", text_col: str = "text",
-                  eval_id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
     """Eval-set decontamination — the standard pretraining hygiene step:
     flag every training document sharing at least one word n-gram with any
     evaluation document (the GPT-3 appendix-C / Llama contamination rule

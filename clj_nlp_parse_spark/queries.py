@@ -990,15 +990,7 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost nothing. phash derived deterministically from text (testdata has
     no binary column); near-dups injected at hamming 1 (must match) and
     hamming 3 (must not)."""
-    docs = _docs(spark, sf_dir)
-    base = docs.select("doc_id", F.expr(_PH_SPARK).alias("ph"))
-    dup1 = base.where(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr("ph ^ 1").alias("ph"))
-    dup3 = base.where(F.col("doc_id") < 5).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.expr("ph ^ 21").alias("ph"))
-    allv = base.unionByName(dup1).unionByName(dup3)
+    allv = _phash_corpus(spark, sf_dir)
     out = DD.phash_near_dup_pairs(allv, max_hamming=2, phash_col="ph")
     return out.orderBy("id_a", "id_b")
 
@@ -1217,11 +1209,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged (n=3 matches the synthetic corpus's short-doc scale; production
     uses 8-13); eval shingles broadcast into a semi-probe — the corpus pays
     one scan, no training-side shuffle."""
-    from clj_nlp_parse_spark.operators.dedup import decontaminate
     docs = _docs(spark, sf_dir)
     ev = docs.where(F.col("doc_id") % 97 == 0)
     tr = docs.where(F.col("doc_id") % 97 != 0)
-    return decontaminate(tr, ev, n=3).orderBy("doc_id")
+    return DD.decontaminate(tr, ev, n=3).orderBy("doc_id")
 
 
 @register(

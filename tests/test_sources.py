@@ -152,8 +152,9 @@ def test_snapshot_concurrent_commit_detected(spark, tmp_path, monkeypatch):
 
 
 def test_snapshot_vacuum_expires_and_sweeps_orphans(spark, tmp_path):
-    import glob
     import os
+
+    import pytest
     tp = str(tmp_path / "vac_table")
     for i in range(4):
         df = spark.createDataFrame([(i, "x")], "id long, v string")
@@ -163,7 +164,13 @@ def test_snapshot_vacuum_expires_and_sweeps_orphans(spark, tmp_path):
     os.makedirs(orphan)
     spark.createDataFrame([(99, "o")], "id long, v string") \
         .coalesce(1).write.mode("overwrite").parquet(orphan)
-    res = sources.expire_table_versions(tp, keep_last=2)
+    import pytest
+    with pytest.raises(RuntimeError, match="refusing to vacuum"):
+        sources.expire_table_versions(str(tmp_path / "nonexistent"))
+    # age guard: a fresh sweep deletes nothing (in-flight writer safety)
+    res0 = sources.expire_table_versions(tp, keep_last=4)
+    assert res0["deleted_files"] == 0 and os.path.exists(orphan)
+    res = sources.expire_table_versions(tp, keep_last=2, min_age_s=0)
     assert res["expired_snapshots"] == [1, 2]
     assert res["deleted_files"] >= 1
     assert not os.path.exists(orphan)
@@ -172,6 +179,5 @@ def test_snapshot_vacuum_expires_and_sweeps_orphans(spark, tmp_path):
     assert sources.read_table_version(spark, tp).count() == 4
     snaps = sources.table_versions(tp)
     assert [s["snapshot_id"] for s in snaps] == [3, 4]
-    import pytest
     with pytest.raises(ValueError, match="not found"):
         sources.read_table_version(spark, tp, snapshot_id=1)
