@@ -74,3 +74,65 @@ def test_plan_id_stable(spark):
     b = plan_id_of(_input(spark), "snap1")
     c = plan_id_of(_input(spark), "snap2")
     assert a == b and a != c
+
+
+def test_snapshot_pinned_checkpointed_materialization(spark, tmp_path):
+    """End-to-end north-star loop: snapshot-pinned read → as-of feature
+    materialization → checkpointed partition write whose manifests carry
+    the input snapshot id. A re-run against the SAME snapshot skips every
+    partition; a new table snapshot changes the plan id and recomputes —
+    resumability and lineage tied together."""
+    import datetime as dt
+
+    from clj_nlp_parse_spark import checkpoint as CP
+    from clj_nlp_parse_spark import sources
+    from clj_nlp_parse_spark.operators import asof
+
+    tbl = str(tmp_path / "events_tbl")
+    rows1 = [(i, f"e{i % 4}",
+              dt.datetime(2025, 1, 1) + dt.timedelta(minutes=i),
+              float(i)) for i in range(40)]
+    df1 = spark.createDataFrame(
+        rows1, "event_id long, entity_id string, ts timestamp, value double")
+    sid1 = sources.append_table_version(df1, tbl)
+
+    def materialize(sid):
+        snap = sources.read_table_version(spark, tbl, snapshot_id=sid)
+        lefts = snap.where("event_id % 3 <> 0") \
+            .select("event_id", "entity_id", F.col("ts").alias("event_ts"))
+        rights = snap.where("event_id % 3 = 0").select(
+            "entity_id", F.col("ts").alias("feature_ts"),
+            F.col("value").alias("fval"))
+        out = asof.asof_join(lefts, rights, on=["entity_id"])
+        return out.withColumn("part", F.col("event_id") % 4)
+
+    w = CP.CheckpointedWriter(str(tmp_path / "out"),
+                              str(tmp_path / "manifests"), "part")
+    out1 = materialize(sid1)
+    pid1 = CP.plan_id_of(out1, input_snapshot=str(sid1))
+    m1 = w.run(out1, pid1, input_snapshot=str(sid1))
+    assert m1["written_partitions"] == 4 and m1["skipped_partitions"] == 0
+    # re-run on the SAME pinned snapshot: everything skips
+    m2 = w.run(materialize(sid1), pid1, input_snapshot=str(sid1))
+    assert m2["written_partitions"] == 0 and m2["skipped_partitions"] == 4
+    # manifests carry the lineage
+    import glob
+    import json
+    man = json.load(open(sorted(glob.glob(
+        str(tmp_path / "manifests" / "*.json")))[0]))
+    assert man["input_snapshot"] == str(sid1)
+
+    # a NEW table snapshot → new plan id → recompute (old manifests ignored)
+    rows2 = [(100 + i, "e0",
+              dt.datetime(2025, 1, 2) + dt.timedelta(minutes=i),
+              1000.0 + i) for i in range(8)]
+    sid2 = sources.append_table_version(
+        spark.createDataFrame(rows2, df1.schema), tbl)
+    out2 = materialize(sid2)
+    pid2 = CP.plan_id_of(out2, input_snapshot=str(sid2))
+    assert pid2 != pid1
+    m3 = w.run(out2, pid2, input_snapshot=str(sid2))
+    assert m3["written_partitions"] == 4
+    # pinned v1 output unaffected by the append: still resumable/no-op
+    m4 = w.run(materialize(sid1), pid1, input_snapshot=str(sid1))
+    assert m4["skipped_partitions"] == 4
