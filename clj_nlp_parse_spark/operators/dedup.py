@@ -424,8 +424,17 @@ def dedup_groups(df: DataFrame, threshold: float = 0.5,
     (a~b, b~c must drop BOTH b and c)."""
     pairs = ngram_jaccard_pairs_prefix(df, threshold, id_col, text_col, n)
     comp = connected_components(pairs, "doc_a", "doc_b")
-    return (df.select(F.col(id_col))
-            .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+    return keep_list(df.select(F.col(id_col)), comp, id_col)
+
+
+def keep_list(ids: DataFrame, components: DataFrame,
+              id_col: str) -> DataFrame:
+    """Canonical keep-list semantics shared by every dedup-groups surface
+    (text, image): left-join ids to their component, singletons are their
+    own component, keep = the smallest member of each cluster."""
+    return (ids
+            .join(components.withColumnRenamed("node", id_col),
+                  id_col, "left")
             .withColumn("component",
                         F.coalesce(F.col("component"), F.col(id_col)))
             .withColumn("keep", F.col(id_col) == F.col("component"))

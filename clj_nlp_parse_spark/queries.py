@@ -967,15 +967,21 @@ _PH_SPARK = dialect.hash32_expr(DD.norm_text_sql("text", "spark"), "spark")
 _PH_DUCK = dialect.hash32_expr(DD.norm_text_sql("text", "duck"), "duck")
 
 
-@register(
-    "phash_near_dup",
-    f"""
-    WITH base AS (SELECT doc_id, {_PH_DUCK} AS ph FROM documents),
+# phash corpus CTE (base + injected near-dups), shared verbatim by the
+# phash_near_dup and image_dedup_groups oracles — ONE copy of the
+# injection constants (mirrored by the Spark-side _phash_corpus)
+_PH_CORPUS_CTE = f"""base AS (SELECT doc_id, {_PH_DUCK} AS ph FROM documents),
     allv AS (SELECT doc_id, ph FROM base
              UNION ALL
              SELECT doc_id + 1000000, xor(ph, 1) FROM base WHERE doc_id < 25
              UNION ALL
-             SELECT doc_id + 2000000, xor(ph, 21) FROM base WHERE doc_id < 5)
+             SELECT doc_id + 2000000, xor(ph, 21) FROM base WHERE doc_id < 5)"""
+
+
+@register(
+    "phash_near_dup",
+    f"""
+    WITH {_PH_CORPUS_CTE}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.ph, b.ph)) AS INTEGER) AS hamming
     FROM allv a JOIN allv b ON a.doc_id < b.doc_id
@@ -1011,12 +1017,7 @@ def _phash_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "image_dedup_groups",
     f"""
-    WITH RECURSIVE base AS (SELECT doc_id, {_PH_DUCK} AS ph FROM documents),
-    allv AS (SELECT doc_id, ph FROM base
-             UNION ALL
-             SELECT doc_id + 1000000, xor(ph, 1) FROM base WHERE doc_id < 25
-             UNION ALL
-             SELECT doc_id + 2000000, xor(ph, 21) FROM base WHERE doc_id < 5),
+    WITH RECURSIVE {_PH_CORPUS_CTE},
     pairs AS (SELECT a.doc_id AS u, b.doc_id AS v
               FROM allv a JOIN allv b ON a.doc_id < b.doc_id
               WHERE bit_count(xor(a.ph, b.ph)) <= 2),
@@ -1042,14 +1043,9 @@ def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     allv = _phash_corpus(spark, sf_dir)
     pairs = DD.phash_near_dup_pairs(allv, max_hamming=2, phash_col="ph")
     comp = DD.connected_components(pairs, "id_a", "id_b")
-    return (allv.select(F.col("doc_id").alias("image_id"))
-            .join(comp.withColumnRenamed("node", "image_id"),
-                  "image_id", "left")
-            .withColumn("component",
-                        F.coalesce(F.col("component"), F.col("image_id")))
-            .withColumn("keep", F.col("image_id") == F.col("component"))
-            .select("image_id", "component", "keep")
-            .orderBy("image_id"))
+    return DD.keep_list(
+        allv.select(F.col("doc_id").alias("image_id")), comp, "image_id") \
+        .orderBy("image_id")
 
 
 @register(
