@@ -19,3 +19,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark_session_holder(spark):
+    """Alias fixture so hypothesis @given tests can take the session
+    without hypothesis trying to treat `spark` as a strategy arg name."""
+    return spark
