@@ -190,3 +190,14 @@ def test_cm_point_estimates_broadcasts_sketch(spark):
     assert "BroadcastHashJoin" in plan
     # left outer: absent cells must survive to the coalesce
     assert "LeftOuter" in plan
+
+
+def test_decontaminate_broadcast_semi_probe(spark, sf_dir):
+    # the corpus side must NOT shuffle: eval shingles broadcast into a
+    # left-semi hash join probe of the exploded training shingles
+    from clj_nlp_parse_spark import queries as Q
+    plan = _plan(Q.QUERIES["decontaminate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # no sort-merge join of training shingles
+    assert "SortMergeJoin" not in plan.split("LeftSemi")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
