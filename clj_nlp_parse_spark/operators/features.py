@@ -47,21 +47,26 @@ def pos_tag_feature_cols(toks: str = "toks") -> list[Column]:
 
 def token_feature_cols(text_col: str = "text", toks: str = "toks",
                        mentions: str | None = None) -> list[Column]:
-    """Doc-level stats (F14): utterance-length, token-count,
-    token-average-length (exact ratio → double), is-question."""
+    """Doc-level stats (F14): utterance-length, token-count, sent-count,
+    mention-count, token-average-length (exact ratio → double),
+    is-question — the FULL token-count-features surface the metas declare
+    (reference README.md:269-291); mention_count is 0 when the caller has
+    no mention source (no NER ran — the reference's empty-mentions case)."""
     tc = F.expr(f"size({toks})")
-    cols = [
+    sc = F.expr(f"size({sentence_words_sql(text_col, 'spark')})")
+    mc = (F.expr(f"size({mentions})") if mentions is not None
+          else F.lit(0))
+    return [
         F.length(F.col(text_col)).cast("long").alias("utterance_length"),
         tc.cast("long").alias("token_count"),
+        sc.cast("long").alias("sent_count"),
+        mc.cast("long").alias("mention_count"),
         F.when(tc == 0, F.lit(0.0)).otherwise(
             F.expr(f"aggregate({toks}, 0L, (a, x) -> a + length(x.word))")
             .cast("double") / tc.cast("double")
         ).alias("token_average_length"),
         F.expr(f"rtrim({text_col}) LIKE '%?'").alias("is_question"),
     ]
-    if mentions is not None:
-        cols.append(F.expr(f"size({mentions})").cast("long").alias("mention_count"))
-    return cols
 
 
 def pos_tag_features(df: DataFrame, id_col: str = "doc_id",

@@ -83,10 +83,13 @@ def q_pos_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_stats",
-    _duck_toks_cte() + """
+    _duck_toks_cte() + f"""
     SELECT doc_id,
       CAST(length(text) AS BIGINT) AS utterance_length,
       CAST(len(toks) AS BIGINT) AS token_count,
+      CAST(len({features.sentence_words_sql('text', 'duck')}) AS BIGINT)
+        AS sent_count,
+      CAST(0 AS BIGINT) AS mention_count,
       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
         CAST(coalesce(list_sum(list_transform(toks, x -> length(x.word))), 0)
              AS DOUBLE) / CAST(len(toks) AS DOUBLE) END

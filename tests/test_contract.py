@@ -43,3 +43,27 @@ def test_correctness_artifact_registry_sync():
     from clj_nlp_parse_spark import queries as Q
     ghost = set(data) - set(Q.QUERIES)
     assert not ghost, f"correctness artifact references unknown queries: {ghost}"
+
+
+def test_feature_metas_match_operator_output_schemas(spark):
+    """The reference's feature-metas contract (feature/lang.clj metas fns,
+    README 'used directly as Weka attributes'): every meta name must be a
+    column the corresponding operator actually emits — metas and operators
+    cannot drift apart."""
+    from clj_nlp_parse_spark import schema
+    from clj_nlp_parse_spark.operators import features as FT
+    df = spark.createDataFrame(
+        [(1, "the fast cats are running. slow scan!")],
+        "doc_id long, text string")
+    outputs = {
+        "pos_tag_features": set(FT.pos_tag_features(df).columns),
+        "sentiment_features": set(FT.sentiment_features(df).columns),
+        "token_features": set(FT.token_features(df).columns),
+        "tree_features": set(FT.tree_features(df).columns),
+    }
+    for family, metas in schema.FEATURE_METAS.items():
+        if family not in outputs:
+            continue
+        meta_names = {name for name, _t in metas}
+        missing = meta_names - outputs[family]
+        assert not missing, (family, missing)
