@@ -438,3 +438,29 @@ def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
         [r for f in files for r in f], schema)
     kept = DD.exact_dedup(batch).where("keep").count()
     assert kept == 3
+
+
+def test_streaming_asof_buffered_timeout_flush_via_other_key(spark, tmp_path):
+    # entity 'a' gets NO new rows in the later micro-batches; the watermark
+    # advances via entity 'b' only — a's pending event must flush through
+    # the EventTimeTimeout path (state.hasTimedOut), not a data arrival
+    schema = "entity_id string, ts timestamp, side string, fval double"
+    p = str(tmp_path / "tmo_in")
+    files = [
+        [("a", _t("2025-01-01T09:00:00"), "feature", 1.0),
+         ("a", _t("2025-01-01T10:00:00"), "event", None)],
+        [("b", _t("2025-01-01T13:00:00"), "feature", 5.0)],
+        [("b", _t("2025-01-01T15:00:00"), "feature", 6.0)],  # wm → 14:00
+    ]
+    _write_microbatch_files(spark, p, files, schema)
+    sdf = (spark.readStream.schema(
+        spark.createDataFrame(files[0], schema).schema)
+        .option("maxFilesPerTrigger", 1).parquet(p))
+    sink = str(tmp_path / "tmo_out")
+    ST.run_available_now_to_parquet(
+        ST.streaming_asof_buffered(sdf, watermark="1 hour"),
+        sink, str(tmp_path / "tmo_ckpt"))
+    got = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+           for r in spark.read.parquet(sink).collect()}
+    assert got[("a", _t("2025-01-01T10:00:00"))] == \
+        (_t("2025-01-01T09:00:00"), 1.0)
