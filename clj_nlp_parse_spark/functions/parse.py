@@ -257,3 +257,16 @@ def sentiment_label(score):
             .when(score == 0, "neutral")
             .when(score == -1, "negative")
             .otherwise("very negative"))
+
+
+def overlap(a_beg, a_end, b_beg, b_end):
+    """O4 overlap? — ranges overlap INCLUSIVELY on both ends
+    (reference parse.clj:173-179: sa <= eb AND sb <= ea). Works on Column
+    operands (range-join predicates) and plain ints alike."""
+    return (a_beg <= b_end) & (b_beg <= a_end)
+
+
+def in_range(outer_beg, outer_end, inner_beg, inner_end):
+    """O5 in-range? — inner sits inclusively within outer
+    (reference parse.clj:181-187). Column or int operands."""
+    return (inner_beg >= outer_beg) & (inner_end <= outer_end)

@@ -143,3 +143,37 @@ def test_parse_timeout_preempts_mid_parse():
         P.parse_document(big, deadline=time.perf_counter() + 0.01)
     aborted = time.perf_counter() - t0
     assert aborted < max(full / 4, 0.1), (full, aborted)
+
+
+def test_range_predicates_reference_goldens():
+    # mirrors range_test.clj:6-23 case-for-case (inclusive semantics)
+    from clj_nlp_parse_spark.functions.parse import in_range, overlap
+    assert in_range(1, 5, 2, 3)
+    assert in_range(1, 5, 1, 5)
+    assert in_range(1, 5, 1, 3)
+    assert in_range(1, 5, 2, 5)
+    assert not in_range(1, 5, 0, 3)
+    assert not in_range(1, 5, 2, 6)
+    assert overlap(0, 5, 3, 9)
+    assert overlap(3, 9, 0, 5)
+    assert overlap(0, 5, 5, 9)     # endpoints touch → inclusive overlap
+    assert overlap(5, 9, 0, 5)
+    assert overlap(1, 5, 1, 5)
+    assert not overlap(0, 5, 6, 9)
+    assert not overlap(6, 9, 0, 5)
+
+
+def test_range_predicates_as_column_exprs(spark):
+    from pyspark.sql import functions as F2
+
+    from clj_nlp_parse_spark.functions.parse import in_range, overlap
+    df = spark.createDataFrame([(0, 5, 5, 9), (0, 5, 6, 9)],
+                               "ab long, ae long, bb long, be long")
+    got = [r.o for r in df.select(
+        overlap(F2.col("ab"), F2.col("ae"),
+                F2.col("bb"), F2.col("be")).alias("o")).collect()]
+    assert got == [True, False]
+    got2 = [r.i for r in df.select(
+        in_range(F2.col("ab"), F2.col("be"),
+                 F2.col("bb"), F2.col("ae")).alias("i")).collect()]
+    assert got2 == [True, True]
