@@ -1388,8 +1388,16 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus data-quality profile per language: doc/empty counts, token
     totals, exact-dup distinct texts, and NEAREST-RANK p50/p90 token-count
     percentiles (rank arithmetic on integers → bit-exact across engines,
-    unlike interpolated percentiles whose float op order differs). One
-    scan, one window shuffle on the stratum key + one distinct agg."""
+    unlike interpolated percentiles whose float op order differs).
+
+    Scale shape (VERDICT_r02 #2): percentiles come from a
+    ``groupBy(lang, n_tokens)`` HISTOGRAM + cumsum over that tiny agg —
+    nearest-rank value at rank r is the smallest n_tokens whose cumulative
+    count reaches r (doc_id tie-break in the oracle's row_number is
+    irrelevant: ties share the same n_tokens value). No per-row window:
+    the only Window sits above the histogram aggregate, whose cardinality
+    is distinct-token-counts per lang (bounded by max doc length), not
+    corpus rows — so no task ever sorts a whole stratum at 100×."""
     from pyspark.sql import Window
     docs = _docs(spark, sf_dir)
     w = docs.select(
@@ -1397,11 +1405,6 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"size({dialect.tokens_expr('text', 'spark')})")
         .alias("n_tokens"),
         F.md5(F.expr("lower(trim(coalesce(text, '')))")).alias("text_hash"))
-    win = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
-    r = w.select(
-        "*",
-        F.row_number().over(win).alias("rn"),
-        F.count("*").over(Window.partitionBy("lang")).alias("n"))
     base = w.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.count_if(F.col("n_tokens") == 0).cast("long").alias("n_empty"),
@@ -1409,17 +1412,34 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_tokens").cast("double") / F.count("*"))
         .alias("avg_tokens"),
         F.countDistinct("text_hash").cast("long").alias("distinct_texts"))
-    p50 = r.where(F.col("rn") == F.greatest(
-        F.lit(1), F.ceil(F.lit(0.5) * F.col("n")).cast("long"))) \
-        .select("lang", F.col("n_tokens").cast("long").alias("p50_tokens"))
-    p90 = r.where(F.col("rn") == F.greatest(
-        F.lit(1), F.ceil(F.lit(0.9) * F.col("n")).cast("long"))) \
-        .select("lang", F.col("n_tokens").cast("long").alias("p90_tokens"))
-    return (base.join(p50, "lang").join(p90, "lang")
+    hist = w.groupBy("lang", "n_tokens").agg(F.count("*").alias("cnt"))
+    hwin = (Window.partitionBy("lang").orderBy("n_tokens")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    h = hist.select(
+        "*",
+        F.sum("cnt").over(hwin).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("lang")).alias("n"))
+
+    def _pctl(q: float, name: str) -> DataFrame:
+        rank = F.greatest(
+            F.lit(1), F.ceil(F.lit(q) * F.col("n")).cast("long"))
+        return (h.where(F.col("cum") >= rank)
+                .groupBy("lang")
+                .agg(F.min("n_tokens").cast("long").alias(name)))
+
+    return (base.join(_pctl(0.5, "p50_tokens"), "lang")
+            .join(_pctl(0.9, "p90_tokens"), "lang")
             .select("lang", "n_docs", "n_empty", "total_tokens",
                     "avg_tokens", "distinct_texts", "p50_tokens",
                     "p90_tokens")
             .orderBy("lang"))
+
+
+#: md5-prefix width for the distributed cumsum in sequence_packing: each
+#: language stratum is split into 16**k deterministic chunks. 2 hex chars =
+#: 256 chunks bounds every window group to ~stratum/256; widen for larger
+#: corpora (the offset table stays langs x 16**k rows — always broadcastable).
+PACK_CHUNK_HEX = 2
 
 
 @register(
@@ -1444,21 +1464,43 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pretraining sequence packing: docs are laid out deterministically
     (md5 order per language stratum) along a token axis; each doc is
     assigned the 512-token training sequence where it STARTS (seq_id =
-    floor(start/512)) plus its offset. One window cumsum per stratum —
-    integer arithmetic only, so packing is reproducible across runs,
-    engines, and parallelism (the property a resumable 100 TB tokenize-
-    and-pack job needs)."""
+    floor(start/512)) plus its offset. Integer arithmetic only, so packing
+    is reproducible across runs, engines, and parallelism (the property a
+    resumable 100 TB tokenize-and-pack job needs).
+
+    Scale shape (VERDICT_r02 #1): TWO-PASS DISTRIBUTED CUMSUM instead of
+    one unbounded window per stratum. The stratum is split into 16**k
+    deterministic chunks by md5 PREFIX (a prefix of the sort key, so chunk
+    order == global md5 order — and unlike repartitionByRange's sampled
+    bounds, the chunking is identical in both passes by construction):
+    (1) local cumsum per (lang, chunk) window — group size ~ stratum/256,
+    task-bounded; (2) per-chunk subtotals (langs x 256 rows) get an
+    exclusive running-sum offset via a window over that tiny agg, then
+    broadcast-join back. cum = chunk_offset + local_cum. A 90 %-one-lang
+    corpus no longer funnels through a single task."""
     from pyspark.sql import Window
     docs = _docs(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
     w = docs.select(
         "doc_id", "lang",
         F.expr(f"size({dialect.tokens_expr('text', 'spark')})")
-        .cast("long").alias("n_tokens"))
-    win = (Window.partitionBy("lang")
-           .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    c = w.withColumn("cum", F.sum("n_tokens").over(win))
-    start = F.col("cum") - F.col("n_tokens")
+        .cast("long").alias("n_tokens"),
+        h.alias("__h"),
+        F.substring(h, 1, PACK_CHUNK_HEX).alias("__chunk"))
+    local_win = (Window.partitionBy("lang", "__chunk")
+                 .orderBy("__h", "doc_id")
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = w.withColumn("local_cum", F.sum("n_tokens").over(local_win))
+    sub = w.groupBy("lang", "__chunk").agg(
+        F.sum("n_tokens").alias("chunk_total"))
+    off_win = (Window.partitionBy("lang").orderBy("__chunk")
+               .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = sub.select(
+        "lang", "__chunk",
+        F.coalesce(F.sum("chunk_total").over(off_win), F.lit(0))
+        .alias("chunk_offset"))
+    c = c.join(F.broadcast(offsets), ["lang", "__chunk"])
+    start = F.col("chunk_offset") + F.col("local_cum") - F.col("n_tokens")
     return (c.select(
         "doc_id", "lang", "n_tokens",
         F.floor(start / 512).cast("long").alias("seq_id"),

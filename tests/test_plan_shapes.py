@@ -173,12 +173,39 @@ def test_stratified_sample_single_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
-def test_sequence_packing_single_shuffle(spark, sf_dir):
+def test_sequence_packing_no_stratum_wide_window(spark, sf_dir):
+    # VERDICT_r02 #1: the per-row cumsum window must be partitioned by
+    # (lang, __chunk) — never by lang alone, which would funnel a whole
+    # stratum through one task at 100x. The only lang-partitioned window
+    # allowed is the offset cumsum over the tiny per-chunk subtotal agg.
     from clj_nlp_parse_spark import queries as Q
     plan = _plan(Q.QUERIES["sequence_packing"](spark, sf_dir))
-    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert hash_ex == 1, plan
-    assert "BatchEvalPython" not in plan
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines, plan
+    for l in win_lines:
+        if "sum(n_tokens" in l:
+            # the per-row window: both stratum key and chunk key present
+            assert "__chunk" in l.split("windowspecdefinition")[1][:80], l
+        else:
+            # any other window may only consume the subtotal aggregate
+            assert "chunk_total" in l, l
+    # offsets come back via broadcast, not a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_corpus_profile_histogram_percentiles_no_per_row_window(spark, sf_dir):
+    # VERDICT_r02 #2: percentiles must come from the (lang, n_tokens)
+    # histogram — no row_number / full-stratum sort over corpus rows; every
+    # window consumes only the histogram's count column.
+    from clj_nlp_parse_spark import queries as Q
+    plan = _plan(Q.QUERIES["corpus_profile"](spark, sf_dir))
+    assert "row_number" not in plan, plan
+    win_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert win_lines, plan
+    for l in win_lines:
+        assert "sum(cnt" in l, l
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
 
 def test_cm_point_estimates_broadcasts_sketch(spark):
