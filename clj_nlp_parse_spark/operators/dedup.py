@@ -410,6 +410,31 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         f"(graph diameter > 2^{max_iter}) — raise max_iter")
 
 
+def collapse_exact(df: DataFrame, id_col: str, key) -> tuple:
+    """Collapse rows sharing an identical `key` (a Column: text hash, phash,
+    …) to their min-id REPRESENTATIVE before any pair-enumeration stage —
+    the identical-content blowup guard (VERDICT_r02 #3): a crawl with m
+    byte-identical copies of one boilerplate doc would otherwise emit
+    m²/2 candidate pairs before distinct; with collapse it emits m-1 STAR
+    edges (rep → member) whose connected-components closure is identical,
+    because identical content is pairwise-similar at any threshold and the
+    rep inherits every cross-group relation its members would have found.
+
+    One hash-keyed window shuffle (same shape as exact_dedup, unskewed —
+    the key is a hash). Returns (reps, star_edges): `reps` keeps the input
+    schema (one row per distinct key, the min-id member); `star_edges` has
+    columns (doc_a=rep, doc_b=member) for every collapsed non-rep row."""
+    w = Window.partitionBy("__xkey")
+    hashed = (df.withColumn("__xkey", key)
+              .withColumn("__rep", F.min(id_col).over(w)))
+    reps = (hashed.where(F.col(id_col) == F.col("__rep"))
+            .drop("__xkey", "__rep"))
+    star = (hashed.where(F.col(id_col) != F.col("__rep"))
+            .select(F.col("__rep").alias("doc_a"),
+                    F.col(id_col).alias("doc_b")))
+    return reps, star
+
+
 def dedup_groups(df: DataFrame, threshold: float = 0.5,
                  id_col: str = "doc_id", text_col: str = "text",
                  n: int = 3) -> DataFrame:
@@ -421,9 +446,22 @@ def dedup_groups(df: DataFrame, threshold: float = 0.5,
 
     The full end-to-end corpus-dedup decision the reference has no analog
     for — pairs alone (jaccard_pairs*) don't dedup transitive chains
-    (a~b, b~c must drop BOTH b and c)."""
-    pairs = ngram_jaccard_pairs_prefix(df, threshold, id_col, text_col, n)
-    comp = connected_components(pairs, "doc_a", "doc_b")
+    (a~b, b~c must drop BOTH b and c).
+
+    Identical texts are collapsed to one representative BEFORE pair
+    enumeration (collapse_exact) — only docs with at least one shingle are
+    eligible (shingle-less docs can never pair under the Jaccard path, so
+    collapsing two identical empty docs would WRONGLY group them; they get
+    a per-row unique key instead and stay singletons)."""
+    n_toks = F.expr(f"size({dialect.tokens_expr(text_col, 'spark')})")
+    # md5 is hex, so the "!"-prefixed per-row fallback key never collides
+    key = F.when(n_toks >= n,
+                 F.md5(F.expr(norm_text_sql(text_col, "spark")))) \
+        .otherwise(F.concat(F.lit("!"), F.col(id_col).cast("string")))
+    reps, star = collapse_exact(df.select(id_col, text_col), id_col, key)
+    pairs = ngram_jaccard_pairs_prefix(reps, threshold, id_col, text_col, n)
+    edges = pairs.select("doc_a", "doc_b").unionByName(star)
+    comp = connected_components(edges, "doc_a", "doc_b")
     return keep_list(df.select(F.col(id_col)), comp, id_col)
 
 

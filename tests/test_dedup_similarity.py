@@ -222,6 +222,47 @@ def test_dedup_groups_keep_semantics(spark):
     assert got[9] == (9, True)
 
 
+def test_dedup_groups_identical_text_blowup_guard(spark):
+    # VERDICT_r02 #3 adversarial case: 10k byte-identical docs. Pre-guard
+    # this emitted ~50M candidate pairs before distinct; collapse_exact must
+    # reduce it to 0 prefix pairs + n-1 star edges with an unchanged CC
+    # closure (one component, min id keeps).
+    from pyspark.sql import functions as F
+    from clj_nlp_parse_spark.operators import dedup as DD
+    boiler = "the same boilerplate footer text repeated on every page"
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit(boiler).alias("text"))
+    extra = spark.createDataFrame(
+        [(20_000, "completely different content entirely here now")],
+        "doc_id long, text string")
+    corpus = docs.unionByName(extra)
+    key = F.md5(F.expr(DD.norm_text_sql("text", "spark")))
+    reps, star = DD.collapse_exact(corpus, "doc_id", key)
+    assert reps.count() == 2                      # one rep per distinct text
+    assert star.count() == 9_999                  # O(n) edges, not n^2/2
+    pairs = DD.ngram_jaccard_pairs_prefix(reps, 0.5)
+    assert pairs.count() == 0                     # reps are not near-dups
+    out = DD.dedup_groups(corpus, threshold=0.5)
+    agg = out.groupBy("component").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("int")).alias("keeps")).collect()
+    got = {r.component: (r.n, r.keeps) for r in agg}
+    assert got[0] == (10_000, 1)                  # one cluster, one keep
+    assert got[20_000] == (1, 1)
+
+
+def test_dedup_groups_identical_empty_docs_stay_singletons(spark):
+    # docs with fewer words than the shingle width can never pair under the
+    # Jaccard path — the exact-collapse guard must NOT group them either
+    from clj_nlp_parse_spark.operators import dedup as DD
+    docs = spark.createDataFrame(
+        [(1, "same two"), (2, "same two"), (3, "")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.component, r.keep)
+           for r in DD.dedup_groups(docs, threshold=0.5).collect()}
+    assert got == {1: (1, True), 2: (2, True), 3: (3, True)}
+
+
 def test_decontaminate_flags_ngram_overlap(spark):
     from clj_nlp_parse_spark.operators import dedup as DD
     ev = spark.createDataFrame(
