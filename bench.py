@@ -44,6 +44,29 @@ def run_noop(df) -> int:
     return n
 
 
+def control_sec(spark) -> float:
+    """Host-speed control (VERDICT_r02 #5): a FROZEN, SF-independent
+    workload (md5 + hash-agg over a generated range) timed as the median of
+    3 runs. Cross-round bench totals divide by this to separate engine
+    regressions from sandbox-host slowdown (round 2 measured a ~1.46x host
+    drift that needed manual archaeology to explain). DO NOT change this
+    workload — comparability across rounds depends on it being
+    byte-identical."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        (spark.range(0, 20_000_000, 1, CPUS)
+         .select((F.col("id") % 9973).alias("k"),
+                 F.md5(F.col("id").cast("string")).alias("h"))
+         .groupBy("k").agg(F.count("*").alias("n"), F.max("h").alias("m"))
+         .write.format("noop").mode("overwrite").save())
+        return time.perf_counter() - t0
+
+    once()  # warm-up (excluded)
+    return round(sorted(once() for _ in range(3))[1], 3)
+
+
 def main() -> None:
     from clj_nlp_parse_spark import queries as Q
     from clj_nlp_parse_spark import synth
@@ -58,6 +81,7 @@ def main() -> None:
 
     # warm the JVM + parquet footers once (excluded from timings)
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    ctl = control_sec(spark)
 
     for name in HEADLINE:
         fn = Q.QUERIES[name]
@@ -102,6 +126,7 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "cpus": CPUS,
+        "control_sec": ctl,
         "flagship_feature_rows_per_sec": round(n_flagship / flag_t, 1),
     }))
     spark.stop()

@@ -156,6 +156,14 @@ def _asof_union_window(left, right, on, left_ts, right_ts, value_cols,
                        direction: str = "backward"):
     left_cols = left.columns
     ptype = _pack_type(right, right_ts, value_cols)
+    # NULL-timestamp contract (ADVICE r02): a right row with NULL right_ts
+    # can never match (ts comparison with NULL is no-match in merge_asof /
+    # ASOF JOIN) — filter it before the union, or its non-NULL __pack would
+    # be carried as a pseudo-match. A left row with NULL left_ts matches
+    # nothing — without the guard below it sorts NULLS FIRST and the
+    # forward path's first() over the following frame would grab the
+    # earliest feature.
+    right = right.where(F.col(right_ts).isNotNull())
     # tag ordering gives inclusive matching at equal ts:
     #   backward: right rows sort BEFORE left rows → last() sees them
     #   forward:  right rows sort AFTER  left rows → first() over the
@@ -188,6 +196,8 @@ def _asof_union_window(left, right, on, left_ts, right_ts, value_cols,
         w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
         carried = u.select(
             "*", F.first("__pack", ignorenulls=True).over(w).alias("__m"))
+    carried = carried.withColumn(
+        "__m", F.when(F.col("__ts").isNotNull(), F.col("__m")))
     out = carried.where(F.col("__side") == l_side).select(
         *[F.col(f"__l_{c}").alias(c) for c in left_cols],
         F.col("__m.rts").alias(right_ts),
@@ -210,9 +220,12 @@ def _asof_union_window_nearest(left, right, on, left_ts, right_ts,
     carried struct, not a second pass. Both sides carry ONE struct (see
     _pack_type) so NULL value columns never mix rows. A NULL event
     timestamp matches nothing (it would otherwise sort first and grab the
-    earliest feature)."""
+    earliest feature). A right row with NULL right_ts is filtered before
+    the union (ADVICE r02): it would otherwise sort first and its non-NULL
+    __pack (rts=NULL, values set) could be carried as a pseudo-match."""
     left_cols = left.columns
     ptype = _pack_type(right, right_ts, value_cols)
+    right = right.where(F.col(right_ts).isNotNull())
     r = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
@@ -318,12 +331,18 @@ def _asof_union_window_split(left, right, on, left_ts, right_ts, value_cols,
     bucket) seed table, so the pre-pass is O(keys × buckets)).
 
     Same semantics as union_window (backward inclusive; right side must be
-    unique per (key, ts)); equivalence is property-tested.
+    unique per (key, ts)); equivalence is property-tested. NULL-timestamp
+    contract (ADVICE r02): right rows with NULL right_ts are filtered (they
+    can never match and would otherwise land in a NULL bucket as packs);
+    left rows with NULL left_ts get a NULL match — their NULL bucket sorts
+    before every seed bucket, so no carry-in reaches them, and no right
+    rows share the NULL bucket.
     """
     left_cols = left.columns
     ms = lambda c: F.unix_millis(F.col(c).cast("timestamp"))
     LONG_MIN = -(1 << 62)
 
+    right = right.where(F.col(right_ts).isNotNull())
     r = right.withColumn("__ms", ms(right_ts)) \
              .withColumn("__bk", (F.col("__ms") / bucket_ms).cast("long"))
     l = left.withColumn("__ms", ms(left_ts)) \
@@ -402,7 +421,9 @@ def incremental_asof_update(prev_out: "DataFrame", left: "DataFrame",
                             value_cols=None,
                             strategy: str = "union_window",
                             direction: str = "backward",
-                            tolerance_ms: int | None = None) -> "DataFrame":
+                            tolerance_ms: int | None = None,
+                            broadcast_key_limit: int | None = 1_000_000
+                            ) -> "DataFrame":
     """Incremental feature-store maintenance — the production update loop:
     a new batch of feature rows arrives; only entities the batch TOUCHES
     are recomputed, everything else passes through from the previous
@@ -422,10 +443,23 @@ def incremental_asof_update(prev_out: "DataFrame", left: "DataFrame",
     Correctness contract (oracle-checked by the asof_incremental query and
     property-tested): output == full asof_join(left, right_full) for ANY
     split of features into base + batch.
+
+    Broadcast gate (ADVICE r02): the broadcast hint is applied only when
+    the batch touches at most `broadcast_key_limit` distinct keys — probed
+    EAGERLY with a LIMIT-bounded count (documented side effect, cost capped
+    at limit+1 rows regardless of batch size, same eager-probe pattern as
+    choose_asof_strategy). A huge backfill batch (many distinct entities)
+    falls back to plain shuffled semi/anti joins instead of OOMing the
+    driver with the build side. Pass broadcast_key_limit=None to force the
+    broadcast unconditionally (caller asserts a small batch).
     """
     on = list(on)
     keys = new_batch.select(*on).distinct()
-    bkeys = F.broadcast(keys)
+    if broadcast_key_limit is not None and \
+            keys.limit(broadcast_key_limit + 1).count() > broadcast_key_limit:
+        bkeys = keys
+    else:
+        bkeys = F.broadcast(keys)
     kept = prev_out.join(bkeys, on, "left_anti")
     lf = left.join(bkeys, on, "left_semi")
     rf = right_full.join(bkeys, on, "left_semi")

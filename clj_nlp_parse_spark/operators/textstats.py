@@ -118,6 +118,11 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
 
     tf = term occurrences in the doc; idf = ln(N / df) with df = number of
     docs containing the term. Deterministic tiebreak (score desc, word asc).
+    The score is rounded to 9 decimals BEFORE ranking: Java's Math.log and
+    libm's log disagree by 1 ULP on some arguments, so the raw double is
+    not reproducible across engines — rounding pins both the value hash and
+    the desc ordering (ranking on the rounded score, identical in the
+    DuckDB oracle).
     Shape: explode → two hash aggs (partial+final, Catalyst-native) → one
     broadcast-joined scalar N → window top-k on the doc key. At corpus
     scale the (word) agg is the only wide shuffle and it is combiner-
@@ -132,9 +137,10 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
     scored = (tf.join(dfreq, "w")
               .crossJoin(F.broadcast(n_docs))
               .withColumn("tfidf",
-                          F.col("tf").cast("double")
-                          * F.log(F.col("n").cast("double")
-                                  / F.col("df").cast("double"))))
+                          F.round(
+                              F.col("tf").cast("double")
+                              * F.log(F.col("n").cast("double")
+                                      / F.col("df").cast("double")), 9)))
     win = Window.partitionBy(id_col).orderBy(
         F.desc("tfidf"), F.asc("w"))
     return (scored.withColumn("rank", F.row_number().over(win))

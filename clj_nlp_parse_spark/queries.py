@@ -1069,8 +1069,9 @@ def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     , dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1)
     , nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
     , scored AS (SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
-                   CAST(tf.tf AS DOUBLE) *
-                   ln(CAST(nd.n AS DOUBLE) / CAST(dfq.df AS DOUBLE)) AS tfidf
+                   round(CAST(tf.tf AS DOUBLE) *
+                     ln(CAST(nd.n AS DOUBLE) / CAST(dfq.df AS DOUBLE)), 9)
+                     AS tfidf
                  FROM tf JOIN dfq ON tf.w = dfq.w CROSS JOIN nd)
     SELECT doc_id, w AS word, tf, CAST(df AS BIGINT) AS df, tfidf,
            CAST(rank AS INTEGER) AS rank

@@ -103,6 +103,14 @@ def streaming_asof_carry(stream: DataFrame,
     def carry(key, pdfs, state):
         if state.exists:
             _ver, fts_ns, fval = state.get
+            # the version must GATE semantics, not just shape (ADVICE r02):
+            # a future same-shape change (e.g. ns→us units) bumps the
+            # constant and old checkpoints fail fast here
+            if _ver != 2:
+                raise ValueError(
+                    f"streaming_asof_carry state version {_ver} != 2 — "
+                    "checkpoint written by an incompatible engine version; "
+                    "restart from a fresh checkpoint directory")
         else:
             fts_ns, fval = None, None
         rows = {entity: [], "event_ts": [], "feature_ts": [], value: []}

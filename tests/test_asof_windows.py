@@ -420,6 +420,63 @@ def test_asof_nearest_null_event_ts_matches_nothing(spark):
     assert row.feature_ts is None and row.fval is None
 
 
+def test_asof_null_ts_guards_all_strategies(spark):
+    # ADVICE r02: (a) a left row with NULL event_ts matches nothing in
+    # EVERY direction/strategy — the forward path would otherwise sort it
+    # NULLS FIRST and first() would grab the earliest feature; (b) a right
+    # row with NULL feature_ts can never match — its non-NULL pack would
+    # otherwise be carried as a pseudo-match (rts NULL, value set).
+    import datetime as dt
+    lefts = spark.createDataFrame(
+        [(1, "u", None),
+         (2, "u", dt.datetime(2025, 1, 1, 12, 0, 0))],
+        "event_id long, entity_id string, event_ts timestamp")
+    rights = spark.createDataFrame(
+        [("u", None, 99.0),                       # NULL-ts feature: inert
+         ("u", dt.datetime(2025, 1, 1, 10, 0, 0), 1.0)],
+        "entity_id string, feature_ts timestamp, fval double")
+    cases = [dict(strategy="union_window", direction="backward"),
+             dict(strategy="union_window", direction="forward"),
+             dict(strategy="union_window_split"),
+             dict(direction="nearest")]
+    for kw in cases:
+        got = {r.event_id: (r.feature_ts, r.fval)
+               for r in asof.asof_join(
+                   lefts, rights, on=["entity_id"], **kw).collect()}
+        assert got[1] == (None, None), kw      # NULL event ts: no match
+        assert got[2][1] != 99.0, kw           # NULL feature ts never wins
+    # backward for event 2 still finds the real 10:00 feature
+    got = {r.event_id: (r.feature_ts, r.fval)
+           for r in asof.asof_join(lefts, rights,
+                                   on=["entity_id"]).collect()}
+    assert got[2] == (dt.datetime(2025, 1, 1, 10, 0, 0), 1.0)
+
+
+def test_incremental_asof_broadcast_gate_fallback(spark):
+    # ADVICE r02: above broadcast_key_limit the update must fall back to
+    # plain joins (no broadcast of a huge build side) and stay correct
+    import datetime as dt
+    lefts = spark.createDataFrame(
+        [(i, f"e{i}", dt.datetime(2025, 1, 2)) for i in range(20)],
+        "event_id long, entity_id string, event_ts timestamp")
+    base = spark.createDataFrame(
+        [(f"e{i}", dt.datetime(2025, 1, 1), float(i)) for i in range(20)],
+        "entity_id string, feature_ts timestamp, fval double")
+    batch = spark.createDataFrame(
+        [(f"e{i}", dt.datetime(2025, 1, 1, 12), float(100 + i))
+         for i in range(10)],
+        "entity_id string, feature_ts timestamp, fval double")
+    full = base.unionByName(batch)
+    prev = asof.asof_join(lefts, base, on=["entity_id"])
+    out = asof.incremental_asof_update(
+        prev, lefts, full, batch, on=["entity_id"],
+        broadcast_key_limit=3)  # 10 distinct keys > 3 → fallback path
+    want = {r.event_id: r.fval
+            for r in asof.asof_join(lefts, full, on=["entity_id"]).collect()}
+    got = {r.event_id: r.fval for r in out.collect()}
+    assert got == want
+
+
 def test_incremental_asof_forwards_tolerance(spark):
     import datetime as dt
     lefts = spark.createDataFrame(

@@ -45,6 +45,39 @@ def test_correctness_artifact_registry_sync():
     assert not ghost, f"correctness artifact references unknown queries: {ghost}"
 
 
+def test_local_correctness_artifact_full_registry_green():
+    """VERDICT r02 #4: the committed full-registry local gate artifact
+    (CORRECTNESS_LOCAL_rN.json, written by `tools/check_oracle.py --json`)
+    must cover EVERY registered query — the driver's 50-query sample
+    rotates, so this is the only per-round record proving the whole
+    registry — and every covered row must be green (oracle rows exact-match
+    or an honest no_oracle rows-only pass)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    files = sorted(glob.glob(os.path.join(root, "CORRECTNESS_LOCAL_r*.json")))
+    assert files, "no CORRECTNESS_LOCAL_r*.json committed — run " \
+        "`python tools/check_oracle.py --json CORRECTNESS_LOCAL_rN.json`"
+    data = json.load(open(files[-1]))
+    from clj_nlp_parse_spark import queries as Q
+    missing = set(Q.QUERIES) - set(data)
+    assert not missing, f"local artifact misses registered queries: {missing}"
+    ghost = set(data) - set(Q.QUERIES)
+    assert not ghost, f"local artifact references unknown queries: {ghost}"
+    bad = {}
+    for name, rec in data.items():
+        if name in Q.ORACLES:
+            if not (rec.get("rows_match") and rec.get("schema_match")
+                    and rec.get("hash_match")):
+                bad[name] = rec
+        else:
+            if rec.get("err") != "no_oracle" or not rec.get("spark_rows"):
+                bad[name] = rec
+    assert not bad, f"non-green rows in local correctness artifact: {bad}"
+
+
 def test_feature_metas_match_operator_output_schemas(spark):
     """The reference's feature-metas contract (feature/lang.clj metas fns,
     README 'used directly as Weka attributes'): every meta name must be a

@@ -105,6 +105,21 @@ def test_feature_string_roundtrip():
     assert sources.parse_features("k={v}") == {"k": "v"}
 
 
+def test_feature_string_rejects_unrepresentable_chars():
+    # ADVICE r02: the wire format has no escaping, so format_features must
+    # reject maps parse_features could not round-trip (bijection contract)
+    import pytest
+    for bad in ({"k": "a}b"},        # '}' truncates the value
+                {"k": "a},x={b"},    # '},' splits into spurious pairs
+                {"k=1": "v"},        # '=' in key
+                {"k}": "v"}, {"{k": "v"}):
+        with pytest.raises(ValueError):
+            sources.format_features(bad)
+    # values with ',' or '=' are fine — the scanner handles them
+    s = sources.format_features({"k": "a,b=c"})
+    assert sources.parse_features(s) == {"k": "a,b=c"}
+
+
 def test_snapshot_log_time_travel_and_lineage(spark, tmp_path):
     tp = str(tmp_path / "snap_table")
     df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
