@@ -28,6 +28,7 @@ HEADLINE = [
     "asof_join", "asof_join_merge", "asof_join_forward", "asof_join_nearest", "asof_incremental",
     "asof_join_tolerance", "lag_lead", "sessionize", "backfill",
     "srl_features", "token_positional", "mention_union",
+    "model_mentions", "mention_features_union",
     "dedup_exact", "minhash_signatures", "lsh_pairs", "simhash",
     # scale-path variants only: jaccard_pairs / similarity_topk stay
     # registered as oracle baselines but are not headline (VERDICT r01 #6)

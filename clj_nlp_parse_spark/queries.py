@@ -1926,6 +1926,48 @@ def q_token_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "__f.*").orderBy("doc_id"))
 
 
+# --------------------------------------- A6-shaped model NER (gazetteer CRF)
+from clj_nlp_parse_spark.operators import ner as NER
+
+
+def _ner_cte() -> str:
+    """tk + per-token entity types + model mentions, DuckDB side."""
+    return (_duck_toks_cte()
+            + f""", tyc AS (SELECT doc_id, words,
+        {NER.token_types_sql('words', 'duck')} AS ty FROM tk),
+    nm AS (SELECT doc_id, words,
+        {NER.ner_mentions_sql('ty', 'duck')} AS ms FROM tyc)""")
+
+
+@register(
+    "model_mentions",
+    _ner_cte() + """
+    SELECT doc_id, x.label AS entity_type,
+           CAST(x.tok_beg AS BIGINT) AS tok_beg,
+           CAST(x.tok_end AS BIGINT) AS tok_end,
+           array_to_string(list_slice(words, x.tok_beg + 1, x.tok_end), ' ')
+             AS span
+    FROM (SELECT doc_id, words, unnest(ms) AS x FROM nm)
+    ORDER BY doc_id, tok_beg""",
+)
+def q_model_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-shaped model-side NER (reference CRF component config.clj:108-128,
+    exercised by ner_test.clj; the model is out of scope — SURVEY.md §2.3):
+    per-token entity types from a broadcast gazetteer, maximal same-type
+    runs merged into :mentions-side spans exactly as CoreNLP folds CRF tags
+    into NERMentions. Pure per-row array computation, zero shuffle."""
+    tagged = NER.tag_model_mentions(_docs(spark, sf_dir))
+    return (tagged.select("doc_id", "words",
+                          F.explode("model_mentions").alias("x"))
+            .select("doc_id",
+                    F.col("x.label").alias("entity_type"),
+                    F.col("x.tok_beg").cast("long").alias("tok_beg"),
+                    F.col("x.tok_end").cast("long").alias("tok_end"),
+                    F.expr("array_join(slice(words, x.tok_beg + 1, "
+                           "x.tok_end - x.tok_beg), ' ')").alias("span"))
+            .orderBy("doc_id", "tok_beg"))
+
+
 # ------------------------------------------------- mention-source union (O6)
 DICT_ITEMS2 = [
     D.DictItem(11, "table hash", "HASH2"),
@@ -1941,10 +1983,12 @@ _COMPILED2 = D.compile_items(DICT_ITEMS2)
     _duck_toks_cte()
     + f""", lm AS (SELECT doc_id, words, toks,
         list_transform(toks, x -> x.lemma) AS lemmas FROM tk),
+    tyu AS (SELECT *, {NER.token_types_sql('words', 'duck')} AS ty FROM lm),
     mu AS (SELECT doc_id,
         ({D.mentions_sql(_COMPILED, 'words', 'lemmas', 'duck')}
-         || {D.mentions_sql(_COMPILED2, 'words', 'lemmas', 'duck')})
-          AS mentions FROM lm)
+         || {D.mentions_sql(_COMPILED2, 'words', 'lemmas', 'duck')}
+         || {NER.ner_mentions_sql('ty', 'duck')})
+          AS mentions FROM tyu)
     SELECT doc_id, x.label AS label, x.item_id AS item_id,
            CAST(x.tok_beg AS BIGINT) AS tok_beg,
            CAST(x.tok_end AS BIGINT) AS tok_end
@@ -1952,23 +1996,68 @@ _COMPILED2 = D.compile_items(DICT_ITEMS2)
     ORDER BY doc_id, item_id, tok_beg""",
 )
 def q_mention_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O6 union of mention sources (reference parse.clj:194-205): two
-    independently tagged mention lists concat'd per row — the array form of
-    unionByName, zero shuffle. Second source tagged with the same
-    let-binding idiom (HOF free-var re-eval guard)."""
+    """O6 union of mention sources (reference parse.clj:194-205): like the
+    reference's :mentions ∪ :tok-re-mentions, GENUINELY DISTINCT sources —
+    two dictionary taggers plus the A6-shaped model NER (item_id = -1) —
+    concat'd per row, the array form of unionByName, zero shuffle. Every
+    source tagged with the let-binding idiom (HOF free-var re-eval
+    guard)."""
     tagged = D.tag_mentions(_docs(spark, sf_dir), DICT_ITEMS)
     body2 = D.mentions_sql(_COMPILED2, "z.ws", "z.ls", "spark")
     let2 = (f"try_element_at(transform("
             f"array(named_struct('ws', words, 'ls', lemmas)), "
             f"z -> {body2}), 1)")
+    model = NER.model_mentions_expr("words")
     unioned = tagged.withColumn(
-        "all_mentions", F.expr(f"concat(tok_re_mentions, {let2})"))
+        "all_mentions",
+        F.expr(f"concat(tok_re_mentions, {let2}, {model})"))
     return (unioned.select("doc_id", F.explode("all_mentions").alias("x"))
             .select("doc_id", F.col("x.label").alias("label"),
                     F.col("x.item_id").alias("item_id"),
                     F.col("x.tok_beg").cast("long").alias("tok_beg"),
                     F.col("x.tok_end").cast("long").alias("tok_end"))
             .orderBy("doc_id", "item_id", "tok_beg"))
+
+
+_MFU_ENTS = sorted({i.label for i in DICT_ITEMS}) + sorted(NER.GAZETTEER)
+_MFU_COLS_DUCK = []
+for _e in _MFU_ENTS:
+    _le = _e.lower()
+    _MFU_COLS_DUCK.append(
+        f"CAST(len(list_filter(allm, m -> m.label = '{_e}')) AS BIGINT)"
+        f" AS mentions_count_{_le}")
+    _MFU_COLS_DUCK.append(
+        f"CASE WHEN len(toks) = 0 THEN 0.0 ELSE "
+        f"CAST(len(list_filter(allm, m -> m.label = '{_e}')) AS DOUBLE)"
+        f" / CAST(len(toks) AS DOUBLE) END AS mentions_ratio_{_le}")
+
+
+@register(
+    "mention_features_union",
+    _dict_cte()
+    + f""", mty AS (SELECT *, {NER.token_types_sql('words', 'duck')} AS ty
+                    FROM mn),
+    ma AS (SELECT doc_id, toks,
+             (mentions || {NER.ner_mentions_sql('ty', 'duck')}) AS allm
+           FROM mty)
+    SELECT doc_id, """ + ", ".join(_MFU_COLS_DUCK)
+    + " FROM ma ORDER BY doc_id",
+)
+def q_mention_features_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 mentions-features over BOTH mention sources (dictionary A7 +
+    model-side A6 NER) — the reference's feature path consumes the merged
+    mention list (parse.clj:194-205 feeding feature/lang.clj:193-237), so
+    the engine's F5 must too. Same zero-default count/ratio columns,
+    entity vocabulary = dict labels ∪ gazetteer types, one projection,
+    no shuffle."""
+    tagged = NER.add_model_mentions(
+        D.tag_mentions(_docs(spark, sf_dir), DICT_ITEMS))
+    both = tagged.withColumn(
+        "all_mentions", F.expr("concat(tok_re_mentions, model_mentions)"))
+    return both.select(
+        "doc_id",
+        *D.mentions_feature_cols("all_mentions", "toks", _MFU_ENTS),
+    ).orderBy("doc_id")
 
 
 # ------------------------------------------- F3 srl features + O15 first scan

@@ -148,6 +148,15 @@ def main() -> None:
     spark.stop()
     if json_path:
         import json
+        if only and os.path.exists(json_path):
+            # subset run: merge into the existing full-registry artifact so
+            # incremental re-checks keep it current; stale (unregistered)
+            # keys are dropped so the ghost-key contract test stays honest
+            with open(json_path) as f:
+                merged = json.load(f)
+            merged = {k: v for k, v in merged.items() if k in Q.QUERIES}
+            merged.update(records)
+            records = merged
         with open(json_path, "w") as f:
             json.dump(records, f, indent=1, sort_keys=True)
         print(f"wrote {json_path} ({len(records)} queries)")
