@@ -28,9 +28,11 @@ from pyspark.sql import functions as F
 
 from clj_nlp_parse_spark import dialect
 
-NP_TAGS = ("DT", "PRP$", "CD", "JJ", "JJR", "JJS",
+# PRP is an NP constituent and head (a pronoun IS a noun phrase — the
+# reference golden sr_parse_test.clj:26-31 has NP(PRP I))
+NP_TAGS = ("DT", "PRP", "PRP$", "CD", "JJ", "JJR", "JJS",
            "NN", "NNS", "NNP", "NNPS")
-NP_HEAD_TAGS = ("NN", "NNS", "NNP", "NNPS")
+NP_HEAD_TAGS = ("PRP", "NN", "NNS", "NNP", "NNPS")
 VP_TAGS = ("MD", "RB", "VB", "VBD", "VBG", "VBN", "VBP", "VBZ")
 VP_HEAD_TAGS = ("VB", "VBD", "VBG", "VBN", "VBP", "VBZ")
 

@@ -216,14 +216,18 @@ def sentiment_features(df: DataFrame, id_col: str = "doc_id",
 
 def tree_features(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
-    """F2-shaped: dep_tree_id = sum over sentences of a deterministic hash
-    of the sentence's canonical token/tag sequence (the engine's replacement
-    for summed JVM .hashCode of dep trees, feature/lang.clj:123-137)."""
+    """F2-shaped: dep_tree_id = deterministic hash of the CANONICAL BRACKET
+    SERIALIZATION of the engine's actual tree column (trees.py) — the
+    replacement for the reference's summed JVM .hashCode of trees
+    (feature/lang.clj:123-137), rehomed per VERDICT r02 #7 so the feature
+    id is derived from the same structure a tree consumer traverses.
+    Utterance-level (the chunk grammar's documented sentence-boundary
+    simplification, chunking.py)."""
     from clj_nlp_parse_spark import dialect as dlect
-    sent_words = sentence_words_sql(text_col, "spark")
-    h = dlect.hash32_expr("array_join(ws, ' ')", "spark")
-    return df.select(
-        F.col(id_col),
-        F.expr(f"aggregate(transform({sent_words}, ws -> ({h})), 0L, (a, x) -> a + x)")
-            .alias("dep_tree_id"),
-    )
+    from clj_nlp_parse_spark.operators import trees as TR
+    words = dlect.tokens_expr(text_col, "spark")
+    ser = TR.tree_expr(words, "ser")
+    h = dlect.hash32_expr("z.ser", "spark")
+    let = (f"try_element_at(transform(array(named_struct('ser', {ser})), "
+           f"z -> cast(({h}) as bigint)), 1)")
+    return df.select(F.col(id_col), F.expr(let).alias("dep_tree_id"))

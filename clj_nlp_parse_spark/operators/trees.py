@@ -1,0 +1,350 @@
+"""Tree-STRUCTURED column for A8/A9 — a traversable parse tree, not just
+its consumers.
+
+Reference surface: the constituency tree (stanford.clj:381-393 map-ify,
+golden sr_parse_test.clj:26-49: ROOT → S → NP/VP → preterminal → leaf with
+1-based :token-index) and the dependency tree (stanford.clj:395-405). The
+parser MODELS are out of scope (SURVEY.md §2.3); the deterministic grammar
+already powering np_vp_chunks (chunking.py: rule-tagger POS tags → maximal
+NP/VP runs with head election) here produces the actual TREE:
+
+  ROOT → S → chunk nodes (NP/VP) → preterminal (tag) → leaf (word),
+  with one nesting rule mirroring the reference golden's VP(VBP, NP) shape:
+  an NP chunk immediately following a VP chunk attaches INSIDE that VP
+  (object attachment) — giving "i am paul"-class utterances the exact
+  ROOT(S(NP(PRP i), VP(VBP am, NP(NNP paul)))) structure of
+  sr_parse_test.clj.
+
+Representation per SURVEY.md §1.4: Spark StructType cannot express
+unbounded recursion, so the tree is a FLATTENED EDGE ARRAY
+array<struct<parent,child,label,token_index>> (label = child's node label,
+token_index 1-based for preterminals/leaves like the reference, NULL for
+internal nodes) plus a CANONICAL bracket serialization string —
+'(ROOT (S (NP (PRP i)) (VP (VBP am) (NP (NNP paul)))))' — which is what
+F2 tree-features hashes (the engine's replacement for the reference's
+summed JVM .hashCode of trees, feature/lang.clj:123-137).
+
+Node ids are position-derived, so the numbering needs no DFS pass:
+ROOT=0, S=1, chunk starting at 0-based token b → 2+3b, preterminal of
+1-based token i → 3i, leaf → 3i+1 (disjoint by residue mod 3 + offsets).
+
+Everything is a per-row array computation: chunks via same-class run
+folding (the NER run-merging mechanic over tag CLASSES), nested
+let-bindings so no HOF free variable is ever re-evaluated per lambda call,
+zero joins, zero shuffles — identical SQL rendered for Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark import dialect
+from clj_nlp_parse_spark.dialect import _q
+from clj_nlp_parse_spark.operators.chunking import (
+    NP_HEAD_TAGS, NP_TAGS, VP_HEAD_TAGS, VP_TAGS)
+
+
+def _in(var: str, tags: tuple[str, ...]) -> str:
+    return f"{var} IN ({', '.join(_q(t) for t in tags)})"
+
+
+def class_sql(tg: str, d: str = "spark") -> str:
+    """Per-token chunk class ('NP' / 'VP' / NULL) from the tag array."""
+    case = (f"CASE WHEN {_in('t', NP_TAGS)} THEN 'NP' "
+            f"WHEN {_in('t', VP_TAGS)} THEN 'VP' ELSE NULL END")
+    fn = "transform" if d == "spark" else "list_transform"
+    return f"{fn}({tg}, t -> {case})"
+
+
+def _head_cond(tag_expr: str) -> str:
+    """Head-election predicate for a run struct `r` and a candidate tag."""
+    return (f"((r.label = 'NP' AND {_in(tag_expr, NP_HEAD_TAGS)}) OR "
+            f"(r.label = 'VP' AND {_in(tag_expr, VP_HEAD_TAGS)}))")
+
+
+def kept_runs_sql(cl: str, tg: str, d: str = "spark") -> str:
+    """Maximal same-class runs over a BOUND class array `cl`, kept only if
+    the run contains a head tag for its class (head election, as in
+    chunking.py). array<struct<label, beg, fin>> — beg 0-based, fin
+    exclusive ('fin' not 'end': keyword-safe in both dialects). Both `cl`
+    and `tg` must be bound names."""
+    if d == "spark":
+        at = lambda a, i: f"try_element_at({a}, {i})"
+        neq = lambda a, b: f"NOT ({a} <=> {b})"
+        starts = (f"filter(sequence(1, size({cl})), i -> "
+                  f"{at(cl, 'i')} IS NOT NULL AND "
+                  f"(i = 1 OR {neq(at(cl, 'i - 1'), at(cl, 'i'))}))")
+        nxt = (f"try_element_at(filter(sequence(i, size({cl})), j -> "
+               f"j > i AND {neq(at(cl, 'j'), at(cl, 'i'))}), 1)")
+        runs = (f"CASE WHEN size({cl}) = 0 THEN array() ELSE "
+                f"transform({starts}, i -> named_struct("
+                f"'label', {at(cl, 'i')}, 'beg', i - 1, "
+                f"'fin', coalesce({nxt}, size({cl}) + 1) - 1)) END")
+        return (f"filter({runs}, r -> exists("
+                f"sequence(r.beg + 1, r.fin), "
+                f"j -> {_head_cond(at(tg, 'j'))}))")
+    at = lambda a, i: f"{a}[{i}]"
+    neq = lambda a, b: f"({a} IS DISTINCT FROM {b})"
+    starts = (f"list_filter(range(1, len({cl}) + 1), i -> "
+              f"{at(cl, 'i')} IS NOT NULL AND "
+              f"(i = 1 OR {neq(at(cl, 'i - 1'), at(cl, 'i'))}))")
+    nxt = (f"list_filter(range(i, len({cl}) + 1), j -> "
+           f"j > i AND {neq(at(cl, 'j'), at(cl, 'i'))})[1]")
+    runs = (f"list_transform({starts}, i -> struct_pack("
+            f"label := {at(cl, 'i')}, beg := i - 1, "
+            f"fin := coalesce({nxt}, len({cl}) + 1) - 1))")
+    return (f"list_filter({runs}, r -> len(list_filter("
+            f"range(r.beg + 1, r.fin + 1), "
+            f"j -> {_head_cond(at(tg, 'j'))})) > 0)")
+
+
+def chunks_sql(kept: str, d: str = "spark") -> str:
+    """Final chunk array from BOUND kept runs: adds `pvp` (0-based beg of
+    the VP this NP attaches into, NULL if none) and `dvp` (this VP has an
+    attached NP following, so its bracket close is deferred)."""
+    if d == "spark":
+        pvp = (f"CASE WHEN c.label = 'NP' THEN try_element_at(filter({kept},"
+               f" v -> v.label = 'VP' AND v.fin = c.beg), 1).beg END")
+        dvp = (f"c.label = 'VP' AND exists({kept}, "
+               f"k -> k.label = 'NP' AND k.beg = c.fin)")
+        return (f"transform({kept}, c -> named_struct("
+                f"'label', c.label, 'beg', c.beg, 'fin', c.fin, "
+                f"'pvp', {pvp}, 'dvp', {dvp}))")
+    pvp = (f"CASE WHEN c.label = 'NP' THEN list_filter({kept}, "
+           f"v -> v.label = 'VP' AND v.fin = c.beg)[1].beg END")
+    dvp = (f"c.label = 'VP' AND len(list_filter({kept}, "
+           f"k -> k.label = 'NP' AND k.beg = c.fin)) > 0")
+    return (f"list_transform({kept}, c -> struct_pack("
+            f"label := c.label, beg := c.beg, fin := c.fin, "
+            f"pvp := {pvp}, dvp := {dvp}))")
+
+
+def edges_sql(ws: str, tg: str, ch: str, d: str = "spark") -> str:
+    """Flattened edge array from BOUND ws/tg/ch:
+    array<struct<parent,child,label,token_index>>."""
+    if d == "spark":
+        chunk_of = (f"try_element_at(filter({ch}, "
+                    f"c -> c.beg <= i - 1 AND i - 1 < c.fin), 1)")
+        fixed = ("array("
+                 "named_struct('parent', -1, 'child', 0, 'label', 'ROOT', "
+                 "'token_index', cast(null as int)), "
+                 "named_struct('parent', 0, 'child', 1, 'label', 'S', "
+                 "'token_index', cast(null as int)))")
+        chunk_e = (f"transform({ch}, c -> named_struct("
+                   f"'parent', CASE WHEN c.pvp IS NOT NULL "
+                   f"THEN 2 + 3 * c.pvp ELSE 1 END, "
+                   f"'child', 2 + 3 * c.beg, 'label', c.label, "
+                   f"'token_index', cast(null as int)))")
+        pre_e = (f"CASE WHEN size({ws}) = 0 THEN array() ELSE "
+                 f"transform(sequence(1, size({ws})), i -> named_struct("
+                 f"'parent', coalesce(2 + 3 * {chunk_of}.beg, 1), "
+                 f"'child', 3 * i, "
+                 f"'label', try_element_at({tg}, i), "
+                 f"'token_index', cast(i as int))) END")
+        leaf_e = (f"CASE WHEN size({ws}) = 0 THEN array() ELSE "
+                  f"transform(sequence(1, size({ws})), i -> named_struct("
+                  f"'parent', 3 * i, 'child', 3 * i + 1, "
+                  f"'label', try_element_at({ws}, i), "
+                  f"'token_index', cast(i as int))) END")
+        return f"concat({fixed}, {chunk_e}, {pre_e}, {leaf_e})"
+    chunk_of = (f"list_filter({ch}, "
+                f"c -> c.beg <= i - 1 AND i - 1 < c.fin)[1]")
+    fixed = ("[struct_pack(parent := -1, child := 0, label := 'ROOT', "
+             "token_index := CAST(NULL AS BIGINT)), "
+             "struct_pack(parent := 0, child := 1, label := 'S', "
+             "token_index := CAST(NULL AS BIGINT))]")
+    chunk_e = (f"list_transform({ch}, c -> struct_pack("
+               f"parent := CASE WHEN c.pvp IS NOT NULL "
+               f"THEN 2 + 3 * c.pvp ELSE 1 END, "
+               f"child := 2 + 3 * c.beg, label := c.label, "
+               f"token_index := CAST(NULL AS BIGINT)))")
+    pre_e = (f"list_transform(range(1, len({ws}) + 1), i -> struct_pack("
+             f"parent := coalesce(2 + 3 * ({chunk_of}).beg, 1), "
+             f"child := 3 * i, label := {tg}[i], "
+             f"token_index := i))")
+    leaf_e = (f"list_transform(range(1, len({ws}) + 1), i -> struct_pack("
+              f"parent := 3 * i, child := 3 * i + 1, label := {ws}[i], "
+              f"token_index := i))")
+    return f"({fixed} || {chunk_e} || {pre_e} || {leaf_e})"
+
+
+def serialize_sql(ws: str, tg: str, ch: str, d: str = "spark") -> str:
+    """Canonical bracket serialization from BOUND ws/tg/ch. An NP attached
+    inside a VP closes BOTH brackets; the VP's own close is deferred."""
+    if d == "spark":
+        opener = (f"coalesce(concat('(', try_element_at(filter({ch}, "
+                  f"c -> c.beg = i - 1), 1).label, ' '), '')")
+        closer_c = f"try_element_at(filter({ch}, c -> c.fin = i), 1)"
+        closer = (f"CASE WHEN ({closer_c}) IS NULL THEN '' "
+                  f"WHEN ({closer_c}).dvp THEN '' "
+                  f"WHEN ({closer_c}).pvp IS NOT NULL THEN '))' "
+                  f"ELSE ')' END")
+        tok = (f"concat({opener}, '(', try_element_at({tg}, i), ' ', "
+               f"try_element_at({ws}, i), ')', {closer})")
+        return (f"CASE WHEN size({ws}) = 0 THEN '(ROOT (S))' ELSE "
+                f"concat('(ROOT (S ', array_join("
+                f"transform(sequence(1, size({ws})), i -> {tok}), ' '), "
+                f"'))') END")
+    opener = (f"coalesce('(' || (list_filter({ch}, "
+              f"c -> c.beg = i - 1)[1]).label || ' ', '')")
+    closer_c = f"list_filter({ch}, c -> c.fin = i)[1]"
+    closer = (f"CASE WHEN ({closer_c}) IS NULL THEN '' "
+              f"WHEN ({closer_c}).dvp THEN '' "
+              f"WHEN ({closer_c}).pvp IS NOT NULL THEN '))' "
+              f"ELSE ')' END")
+    tok = (f"{opener} || '(' || {tg}[i] || ' ' || {ws}[i] || ')' "
+           f"|| {closer}")
+    return (f"CASE WHEN len({ws}) = 0 THEN '(ROOT (S))' ELSE "
+            f"'(ROOT (S ' || array_to_string("
+            f"list_transform(range(1, len({ws}) + 1), i -> {tok}), ' ') "
+            f"|| '))' END")
+
+
+def dep_edges_sql(ws: str, tg: str, ch: str, d: str = "spark") -> str:
+    """A9 dependency edge array from BOUND ws/tg/ch:
+    array<struct<head,dependent,label>> over 1-BASED token indices, head 0
+    for the root. Deterministic dependency grammar, consistent with the
+    engine's existing surfaces: the root is the FIRST verb-typed token,
+    else token 1 (exactly verb_features' root election, srl.py:83 /
+    reference root-dependency parse.clj:167-171); chunk members depend on
+    their chunk's HEAD token ('mod' — the head is the LAST head-tagged
+    token in the run, chunking.py's head election); chunk heads and loose
+    tokens depend on the root ('dep'). Acyclic by construction:
+    member → chunk head → root → 0.
+
+    The DuckDB rendering expects a BOUND column `rt` (root index) — bind it
+    via root_index_sql in a CTE; the Spark rendering let-binds it
+    internally."""
+    from clj_nlp_parse_spark import schema
+    if d == "spark":
+        is_verb = lambda e: _in(e, schema.VERB_TAGS)
+        rootix = (f"coalesce(try_element_at(filter(sequence(1, size({tg})),"
+                  f" j -> {is_verb(f'try_element_at({tg}, j)')}), 1), 1)")
+        cof = (f"try_element_at(filter({ch}, "
+               f"c -> c.beg <= i - 1 AND i - 1 < c.fin), 1)")
+        hd = (f"try_element_at(filter(sequence(({cof}).beg + 1, "
+              f"({cof}).fin), j -> "
+              f"((({cof}).label = 'NP' AND "
+              f"{_in(f'try_element_at({tg}, j)', NP_HEAD_TAGS)}) OR "
+              f"(({cof}).label = 'VP' AND "
+              f"{_in(f'try_element_at({tg}, j)', VP_HEAD_TAGS)}))), -1)")
+        dep = (f"named_struct("
+               f"'head', CASE WHEN {cof} IS NOT NULL AND {hd} IS NOT NULL "
+               f"AND {hd} != i THEN {hd} ELSE z.rt END, "
+               f"'dependent', i, "
+               f"'label', CASE WHEN {cof} IS NOT NULL AND {hd} IS NOT NULL "
+               f"AND {hd} != i THEN 'mod' ELSE 'dep' END)")
+        body = (f"CASE WHEN size({ws}) = 0 THEN "
+                f"cast(array() as array<struct<head:int, dependent:int, "
+                f"label:string>>) ELSE concat("
+                f"array(named_struct('head', 0, 'dependent', z.rt, "
+                f"'label', 'root')), "
+                f"transform(filter(sequence(1, size({ws})), "
+                f"i -> i != z.rt), i -> {dep})) END")
+        return (f"try_element_at(transform(array(named_struct("
+                f"'rt', {rootix})), z -> {body}), 1)")
+    cof = f"list_filter({ch}, c -> c.beg <= i - 1 AND i - 1 < c.fin)[1]"
+    hd = (f"list_filter(range(({cof}).beg + 1, ({cof}).fin + 1), j -> "
+          f"((({cof}).label = 'NP' AND {_in(f'{tg}[j]', NP_HEAD_TAGS)}) OR "
+          f"(({cof}).label = 'VP' AND {_in(f'{tg}[j]', VP_HEAD_TAGS)})"
+          f"))[-1]")
+    dep = (f"struct_pack("
+           f"head := CASE WHEN ({cof}) IS NOT NULL AND ({hd}) IS NOT NULL "
+           f"AND ({hd}) != i THEN ({hd}) ELSE rt END, "
+           f"dependent := i, "
+           f"label := CASE WHEN ({cof}) IS NOT NULL AND ({hd}) IS NOT NULL "
+           f"AND ({hd}) != i THEN 'mod' ELSE 'dep' END)")
+    return (f"CASE WHEN len({ws}) = 0 THEN [] ELSE "
+            f"([struct_pack(head := 0, dependent := rt, label := 'root')] "
+            f"|| list_transform(list_filter(range(1, len({ws}) + 1), "
+            f"i -> i != rt), i -> {dep})) END")
+
+
+def root_index_sql(tg: str, d: str = "duck") -> str:
+    """1-based root token index: first verb-typed token, else 1."""
+    from clj_nlp_parse_spark import schema
+    if d == "spark":
+        return (f"coalesce(try_element_at(filter(sequence(1, size({tg})), "
+                f"j -> {_in(f'try_element_at({tg}, j)', schema.VERB_TAGS)})"
+                f", 1), 1)")
+    return (f"coalesce(list_filter(range(1, len({tg}) + 1), "
+            f"j -> {_in(f'{tg}[j]', schema.VERB_TAGS)})[1], 1)")
+
+
+def dep_tree_edges(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Exploded dependency edge rows: (id, head, dependent, label)."""
+    words = dialect.tokens_expr(text_col, "spark")
+    out = df.select(
+        F.col(id_col),
+        F.explode(F.expr(tree_expr(words, "dep"))).alias("e"))
+    return out.select(
+        id_col,
+        F.col("e.head").cast("long").alias("head"),
+        F.col("e.dependent").cast("long").alias("dependent"),
+        F.col("e.label").alias("label"))
+
+
+def _spark_let(bindings: dict[str, str], body: str, var: str) -> str:
+    binding = ", ".join(f"'{k}', {v}" for k, v in bindings.items())
+    return (f"try_element_at(transform(array(named_struct({binding})), "
+            f"{var} -> {body}), 1)")
+
+
+def tree_expr(words: str, what: str = "edges") -> str:
+    """Spark expression: words array → edge array ('edges') or canonical
+    serialization ('ser'). Four nested let-bindings (tags, classes, kept
+    runs, chunks) so every array is materialized once per row."""
+    tags = f"transform({words}, t -> ({dialect.pos_case_expr('t', 'spark')}))"
+    body_fn = {"edges": edges_sql, "ser": serialize_sql,
+               "dep": dep_edges_sql}[what]
+    body = body_fn("w.ws", "w.tg", "w.ch", "spark")
+    l4 = _spark_let(
+        {"ws": "z.ws", "tg": "z.tg", "ch": chunks_sql("z.kept", "spark")},
+        body, "w")
+    l3 = _spark_let(
+        {"ws": "x.ws", "tg": "x.tg",
+         "kept": kept_runs_sql("x.cl", "x.tg", "spark")},
+        l4, "z")
+    l2 = _spark_let(
+        {"ws": "y.ws", "tg": "y.tg", "cl": class_sql("y.tg", "spark")},
+        l3, "x")
+    return _spark_let({"ws": words, "tg": tags}, l2, "y")
+
+
+def duck_tree_cte(from_tbl: str = "tk") -> str:
+    """DuckDB CTE chain binding ws/tg/cl/kept/ch as real columns (DuckDB
+    needs no let-binding — CTE columns are materialized once). `from_tbl`
+    must provide (doc_id, words, toks); tags come from toks.pos_tag."""
+    return f"""tr1 AS (SELECT doc_id, words,
+        list_transform(toks, x -> x.pos_tag) AS tg FROM {from_tbl}),
+    tr2 AS (SELECT *, {class_sql('tg', 'duck')} AS cl FROM tr1),
+    tr3 AS (SELECT *, {kept_runs_sql('cl', 'tg', 'duck')} AS kept FROM tr2),
+    tr4 AS (SELECT doc_id, words, tg,
+        {chunks_sql('kept', 'duck')} AS ch FROM tr3)"""
+
+
+def parse_tree_edges(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exploded edge rows: (id, parent, child, label, token_index) — the
+    traversable tree a reference user asks for, one row per edge."""
+    words = dialect.tokens_expr(text_col, "spark")
+    out = df.select(
+        F.col(id_col),
+        F.explode(F.expr(tree_expr(words, "edges"))).alias("e"))
+    return out.select(
+        id_col,
+        F.col("e.parent").cast("long").alias("parent"),
+        F.col("e.child").cast("long").alias("child"),
+        F.col("e.label").alias("label"),
+        F.col("e.token_index").cast("long").alias("token_index"))
+
+
+def with_tree(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach both tree columns: `tree_edges` (flattened edge array) and
+    `tree_ser` (canonical bracket serialization)."""
+    words = dialect.tokens_expr(text_col, "spark")
+    return (df.withColumn("tree_edges", F.expr(tree_expr(words, "edges")))
+            .withColumn("tree_ser", F.expr(tree_expr(words, "ser")))
+            .withColumn("dep_edges", F.expr(tree_expr(words, "dep"))))

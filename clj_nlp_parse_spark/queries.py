@@ -133,22 +133,72 @@ def q_sentiment_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.sentiment_features(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
-_H_DUCK = dialect.hash32_expr("array_to_string(ws, ' ')", "duck")
+from clj_nlp_parse_spark.operators import trees as TR
+
+_TREE_SER_DUCK = TR.serialize_sql("words", "tg", "ch", "duck")
 
 
 @register(
     "tree_features",
-    f"""
-    WITH sw AS (SELECT doc_id, {_SENT_WORDS_DUCK} AS sws FROM documents)
+    _duck_toks_cte() + ", " + TR.duck_tree_cte("tk")
+    + f"""
     SELECT doc_id,
-      CAST(coalesce(list_sum(list_transform(sws, ws -> ({_H_DUCK}))), 0)
-           AS BIGINT) AS dep_tree_id
-    FROM sw ORDER BY doc_id""",
+      CAST({dialect.hash32_expr(_TREE_SER_DUCK, 'duck')} AS BIGINT)
+        AS dep_tree_id
+    FROM tr4 ORDER BY doc_id""",
 )
 def q_tree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F2 tree-features — deterministic hash-id replacement
-    (reference feature/lang.clj:123-137)."""
+    """F2 tree-features — deterministic hash-id replacement (reference
+    feature/lang.clj:123-137's summed JVM .hashCode of trees), REHOMED
+    (VERDICT r02 #7) onto the canonical bracket serialization of the
+    engine's actual tree column (trees.py) so the feature id and the
+    traversable tree can never drift apart."""
     return features.tree_features(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "parse_tree_edges",
+    _duck_toks_cte() + ", " + TR.duck_tree_cte("tk")
+    + f"""
+    SELECT doc_id, CAST(e.parent AS BIGINT) AS parent,
+           CAST(e.child AS BIGINT) AS child, e.label AS label,
+           CAST(e.token_index AS BIGINT) AS token_index
+    FROM (SELECT doc_id,
+            unnest({TR.edges_sql('words', 'tg', 'ch', 'duck')}) AS e
+          FROM tr4)
+    ORDER BY doc_id, child""",
+)
+def q_parse_tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/A9 tree-STRUCTURED column (VERDICT r02 #7): the flattened edge
+    array per SURVEY §1.4 — ROOT → S → NP/VP chunk nodes (with the
+    reference golden's VP(V, NP) object attachment) → preterminals →
+    leaves, 1-based token_index like the reference's :token-index
+    (sr_parse_test.clj:26-49). Exploded to one row per edge; pure per-row
+    array computation, zero shuffle."""
+    return TR.parse_tree_edges(_docs(spark, sf_dir)) \
+             .orderBy("doc_id", "child")
+
+
+@register(
+    "dep_tree_edges",
+    _duck_toks_cte() + ", " + TR.duck_tree_cte("tk")
+    + f""", tr5 AS (SELECT *, {TR.root_index_sql('tg', 'duck')} AS rt
+                    FROM tr4)
+    SELECT doc_id, CAST(e.head AS BIGINT) AS head,
+           CAST(e.dependent AS BIGINT) AS dependent, e.label AS label
+    FROM (SELECT doc_id,
+            unnest({TR.dep_edges_sql('words', 'tg', 'ch', 'duck')}) AS e
+          FROM tr5)
+    ORDER BY doc_id, dependent""",
+)
+def q_dep_tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 dependency tree as a traversable edge list (reference
+    stanford.clj:395-405; root election = reference root-dependency
+    parse.clj:167-171): head 0 → root token, chunk members → chunk head
+    ('mod'), everything else → root ('dep'). 1-based token indices; one
+    row per token. Pure per-row computation, zero shuffle."""
+    return TR.dep_tree_edges(_docs(spark, sf_dir)) \
+             .orderBy("doc_id", "dependent")
 
 
 @register(
