@@ -412,6 +412,68 @@ def test_streaming_carry_multichunk_group(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_asof_buffered_multichunk_group_with_late_features(
+        spark, tmp_path):
+    # VERDICT r02 #8: one key with >2,048 rows in a single micro-batch (the
+    # group spans multiple Arrow chunks — the buffered variant's
+    # pdfs-concat path) PLUS late features arriving across later
+    # micro-batches; output must equal the batch union_window as-of.
+    import random
+    from clj_nlp_parse_spark.operators import asof
+    rnd = random.Random(29)
+    schema = "entity_id string, ts timestamp, side string, fval double"
+    rows_all, feats, evs = [], [], []
+
+    def mk(n, max_step, off_ms=0):
+        # off_ms: per-batch sub-second offset so timestamps never collide
+        # across batches (every (key, ts) stays unique)
+        batch, t = [], 0
+        for _ in range(n):
+            t += rnd.randint(1, max_step)
+            ts = _t("2025-01-01T00:00:00") + dt.timedelta(
+                seconds=t, milliseconds=off_ms)
+            if rnd.random() < 0.3:
+                v = float(rnd.randint(0, 99))
+                batch.append(("e", ts, "feature", v))
+                feats.append(("e", ts, v))
+            else:
+                batch.append(("e", ts, "event", None))
+                evs.append(("e", ts))
+        return batch
+
+    # batch 1: 6,000 rows (>2 Arrow chunks for the one key), shuffled so
+    # chunk order != time order
+    big = mk(6000, 2)                     # spans ~2 hours
+    rnd.shuffle(big)
+    # batches 2-3: LATE features + more events with timestamps interleaved
+    # into batch 1's range (within the 10h watermark, so the contract
+    # guarantees exactness)
+    late2 = mk(400, 18, off_ms=333)
+    late3 = mk(400, 18, off_ms=667)
+    rows_all = big + late2 + late3
+    sentinel = [("e", _t("2025-01-02T12:00:00"), "feature", 0.0)]
+    feats.append(("e", _t("2025-01-02T12:00:00"), 0.0))
+    p = str(tmp_path / "mc_in")
+    _write_microbatch_files(spark, p, [big, late2, late3, sentinel], schema)
+    sdf = (spark.readStream.schema(
+        spark.createDataFrame(rows_all, schema).schema)
+        .option("maxFilesPerTrigger", 1).parquet(p))
+    sink = str(tmp_path / "mc_out")
+    ST.run_available_now_to_parquet(
+        ST.streaming_asof_buffered(sdf, watermark="10 hours"),
+        sink, str(tmp_path / "mc_ckpt"))
+    got = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+           for r in spark.read.parquet(sink).collect()}
+    lefts = spark.createDataFrame(evs, "entity_id string, event_ts timestamp")
+    rights = spark.createDataFrame(
+        feats, "entity_id string, feature_ts timestamp, fval double")
+    want = {(r.entity_id, r.event_ts): (r.feature_ts, r.fval)
+            for r in asof.asof_join(lefts, rights, on=["entity_id"])
+            .collect()}
+    assert len(got) == len(evs)
+    assert got == want
+
+
 def test_streaming_exact_dedup_matches_batch(spark, tmp_path):
     # duplicates across micro-batches are dropped; first arrival survives;
     # state is bounded by the watermark
