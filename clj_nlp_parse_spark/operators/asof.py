@@ -446,9 +446,12 @@ def incremental_asof_update(prev_out: "DataFrame", left: "DataFrame",
 
     Broadcast gate (ADVICE r02): the broadcast hint is applied only when
     the batch touches at most `broadcast_key_limit` distinct keys — probed
-    EAGERLY with a LIMIT-bounded count (documented side effect, cost capped
-    at limit+1 rows regardless of batch size, same eager-probe pattern as
-    choose_asof_strategy). A huge backfill batch (many distinct entities)
+    EAGERLY (documented side effect, same eager-probe pattern as
+    choose_asof_strategy). The probe is one distinct partial-aggregate scan
+    over the batch's key columns; the LIMIT caps only the rows shuffled to
+    the driver (limit+1), not the scan itself — one extra key-column pass
+    per update, proportional to the batch. A huge backfill batch (many
+    distinct entities)
     falls back to plain shuffled semi/anti joins instead of OOMing the
     driver with the build side. Pass broadcast_key_limit=None to force the
     broadcast unconditionally (caller asserts a small batch).

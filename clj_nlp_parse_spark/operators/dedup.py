@@ -423,9 +423,19 @@ def collapse_exact(df: DataFrame, id_col: str, key) -> tuple:
     One hash-keyed window shuffle (same shape as exact_dedup, unskewed —
     the key is a hash). Returns (reps, star_edges): `reps` keeps the input
     schema (one row per distinct key, the min-id member); `star_edges` has
-    columns (doc_a=rep, doc_b=member) for every collapsed non-rep row."""
+    columns (doc_a=rep, doc_b=member) for every collapsed non-rep row.
+
+    NULL keys never collapse: Window.partitionBy puts every NULL in ONE
+    group, which would star-link all missing-key rows (e.g. images whose
+    hash failed) into a single pseudo-duplicate cluster — so NULL keys get
+    a per-row unique fallback ('n:'+id; non-null keys render as 'k:'+key,
+    so the namespaces cannot collide) and stay singletons."""
     w = Window.partitionBy("__xkey")
-    hashed = (df.withColumn("__xkey", key)
+    safe_key = (F.when(key.isNotNull(),
+                       F.concat(F.lit("k:"), key.cast("string")))
+                .otherwise(F.concat(F.lit("n:"),
+                                    F.col(id_col).cast("string"))))
+    hashed = (df.withColumn("__xkey", safe_key)
               .withColumn("__rep", F.min(id_col).over(w)))
     reps = (hashed.where(F.col(id_col) == F.col("__rep"))
             .drop("__xkey", "__rep"))

@@ -219,8 +219,14 @@ def dep_edges_sql(ws: str, tg: str, ch: str, d: str = "spark") -> str:
     from clj_nlp_parse_spark import schema
     if d == "spark":
         is_verb = lambda e: _in(e, schema.VERB_TAGS)
-        rootix = (f"coalesce(try_element_at(filter(sequence(1, size({tg})),"
-                  f" j -> {is_verb(f'try_element_at({tg}, j)')}), 1), 1)")
+        # CASE guard: sequence(1, 0) is DESCENDING [1, 0] and
+        # try_element_at(tg, 0) throws INVALID_INDEX_OF_ZERO — a zero-token
+        # doc must not crash the binding construction (body returns [] but
+        # bindings are evaluated first)
+        rootix = (f"CASE WHEN size({tg}) = 0 THEN 1 ELSE "
+                  f"coalesce(try_element_at(filter(sequence(1, size({tg})),"
+                  f" j -> {is_verb(f'try_element_at({tg}, j)')}), 1), 1) "
+                  f"END")
         # per-token chunk-head index, computed ONCE into a bound array
         # (PERF: inlining the chunk lookup into every edge field re-ran the
         # filter ~6x per token — measured 78 s vs ~4 s at sf0.1)
@@ -274,9 +280,10 @@ def root_index_sql(tg: str, d: str = "duck") -> str:
     """1-based root token index: first verb-typed token, else 1."""
     from clj_nlp_parse_spark import schema
     if d == "spark":
-        return (f"coalesce(try_element_at(filter(sequence(1, size({tg})), "
+        return (f"CASE WHEN size({tg}) = 0 THEN 1 ELSE "
+                f"coalesce(try_element_at(filter(sequence(1, size({tg})), "
                 f"j -> {_in(f'try_element_at({tg}, j)', schema.VERB_TAGS)})"
-                f", 1), 1)")
+                f", 1), 1) END")
     return (f"coalesce(list_filter(range(1, len({tg}) + 1), "
             f"j -> {_in(f'{tg}[j]', schema.VERB_TAGS)})[1], 1)")
 
@@ -302,13 +309,25 @@ def _spark_let(bindings: dict[str, str], body: str, var: str) -> str:
 
 
 def tree_expr(words: str, what: str = "edges") -> str:
-    """Spark expression: words array → edge array ('edges') or canonical
-    serialization ('ser'). Four nested let-bindings (tags, classes, kept
-    runs, chunks) so every array is materialized once per row."""
+    """Spark expression: words array → edge array ('edges'), canonical
+    serialization ('ser'), dependency edges ('dep'), or a struct of all
+    three ('all'). Four nested let-bindings (tags, classes, kept runs,
+    chunks) so every array is materialized once per row."""
     tags = f"transform({words}, t -> ({dialect.pos_case_expr('t', 'spark')}))"
-    body_fn = {"edges": edges_sql, "ser": serialize_sql,
-               "dep": dep_edges_sql}[what]
-    body = body_fn("w.ws", "w.tg", "w.ch", "spark")
+    if what == "all":
+        # one shared binding chain emitting every tree column at once —
+        # measured 1.5x faster than three independent columns at sf0.1
+        # (the tags→classes→runs→chunks derivation is paid once per row)
+        body = ("named_struct("
+                "'edges', " + edges_sql("w.ws", "w.tg", "w.ch", "spark")
+                + ", 'ser', " + serialize_sql("w.ws", "w.tg", "w.ch",
+                                              "spark")
+                + ", 'dep', " + dep_edges_sql("w.ws", "w.tg", "w.ch",
+                                              "spark") + ")")
+    else:
+        body_fn = {"edges": edges_sql, "ser": serialize_sql,
+                   "dep": dep_edges_sql}[what]
+        body = body_fn("w.ws", "w.tg", "w.ch", "spark")
     l4 = _spark_let(
         {"ws": "z.ws", "tg": "z.tg", "ch": chunks_sql("z.kept", "spark")},
         body, "w")
@@ -354,6 +373,8 @@ def with_tree(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach both tree columns: `tree_edges` (flattened edge array) and
     `tree_ser` (canonical bracket serialization)."""
     words = dialect.tokens_expr(text_col, "spark")
-    return (df.withColumn("tree_edges", F.expr(tree_expr(words, "edges")))
-            .withColumn("tree_ser", F.expr(tree_expr(words, "ser")))
-            .withColumn("dep_edges", F.expr(tree_expr(words, "dep"))))
+    return (df.withColumn("__tree", F.expr(tree_expr(words, "all")))
+            .withColumn("tree_edges", F.col("__tree.edges"))
+            .withColumn("tree_ser", F.col("__tree.ser"))
+            .withColumn("dep_edges", F.col("__tree.dep"))
+            .drop("__tree"))

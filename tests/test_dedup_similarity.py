@@ -251,6 +251,20 @@ def test_dedup_groups_identical_text_blowup_guard(spark):
     assert got[20_000] == (1, 1)
 
 
+def test_collapse_exact_null_keys_stay_singletons(spark):
+    # review r03: Window.partitionBy puts every NULL in ONE group — rows
+    # with a NULL collapse key (e.g. failed image hashes) must NOT be
+    # star-linked into one pseudo-duplicate cluster
+    from pyspark.sql import functions as F
+    from clj_nlp_parse_spark.operators import dedup as DD
+    df = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, None), (4, None), (5, 9)],
+        "doc_id long, ph long")
+    reps, star = DD.collapse_exact(df, "doc_id", F.col("ph"))
+    assert sorted(r.doc_id for r in reps.collect()) == [1, 3, 4, 5]
+    assert [(r.doc_a, r.doc_b) for r in star.collect()] == [(1, 2)]
+
+
 def test_dedup_groups_identical_empty_docs_stay_singletons(spark):
     # docs with fewer words than the shingle width can never pair under the
     # Jaccard path — the exact-collapse guard must NOT group them either

@@ -112,7 +112,11 @@ def test_feature_string_rejects_unrepresentable_chars():
     for bad in ({"k": "a}b"},        # '}' truncates the value
                 {"k": "a},x={b"},    # '},' splits into spurious pairs
                 {"k=1": "v"},        # '=' in key
-                {"k}": "v"}, {"{k": "v"}):
+                {"k}": "v"}, {"{k": "v"},
+                {"k": ""},           # empty value parses away (k={} → {})
+                {"": "v"},           # empty key
+                {"k": "a\nb"},       # regex '.' does not cross newlines
+                {"a\nb": "v"}):
         with pytest.raises(ValueError):
             sources.format_features(bad)
     # values with ',' or '=' are fine — the scanner handles them

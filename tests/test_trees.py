@@ -137,6 +137,21 @@ def test_dep_tree_golden(spark):
             cur = got.get(cur, (0,))[0]
 
 
+def test_dep_tree_zero_token_doc_no_crash(spark):
+    # review r03: rootix evaluated during binding construction — an
+    # empty/punct-only doc must yield zero dep edges, not
+    # INVALID_INDEX_OF_ZERO (sequence(1, 0) is descending in Spark)
+    df = spark.createDataFrame(
+        [(1, ""), (2, "..."), (3, None), (4, "i am paul")],
+        "doc_id long, text string")
+    got = TR.dep_tree_edges(df).groupBy("doc_id").count().collect()
+    assert {r.doc_id: r["count"] for r in got} == {4: 3}
+    allc = TR.with_tree(df).select("doc_id", "tree_ser", "dep_edges") \
+        .collect()
+    by_id = {r.doc_id: r for r in allc}
+    assert by_id[1].tree_ser == "(ROOT (S))" and by_id[1].dep_edges == []
+
+
 def test_parse_tree_is_pure_projection(spark):
     df = spark.createDataFrame([(1, "i am paul")], "doc_id long, text string")
     plan = (TR.parse_tree_edges(df)

@@ -104,6 +104,8 @@ def main() -> None:
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            sys.exit("usage: check_oracle.py [--json PATH] [query ...]")
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
     only = set(argv)
