@@ -74,7 +74,12 @@ def test_doc_query_fragments_on_degenerate_docs(spark, monkeypatch):
     for name in ["pos_features", "doc_stats", "sentiment_features",
                  "tree_features", "go_words", "token_positional",
                  "srl_features", "sentiment_labels", "simhash",
-                 "text_stats", "dedup_exact", "mention_union"]:
+                 "text_stats", "dedup_exact", "mention_union",
+                 # round-3 surfaces: trees, model NER, merged F5,
+                 # histogram percentiles, chunked packing cumsum
+                 "parse_tree_edges", "dep_tree_edges", "model_mentions",
+                 "mention_features_union", "corpus_profile",
+                 "sequence_packing"]:
         got = Q.QUERIES[name](spark, "ignored").toPandas()
         want = con.sql(Q.ORACLES[name]).df()
         got = got[sorted(got.columns)].reset_index(drop=True)
@@ -284,3 +289,53 @@ def test_dictionary_options_fuzz_three_way(spark):
     assert got_spark == got_duck
     assert got_spark == got_py
     assert got_spark  # non-vacuous: the fuzz corpus must produce matches
+
+
+def test_trees_and_ner_fuzz_two_way(spark):
+    """Random word-salad docs (gazetteer words, NP/VP-tag words, random
+    junk, pathological tokens): the Spark tree/NER expressions and the
+    DuckDB renderings of the same builders must emit identical edge lists,
+    serializations, and mention spans — cross-engine parity on INPUTS THE
+    CORPUS NEVER EXERCISES, not just the fixed testdata."""
+    import duckdb as _dd
+    import pandas as pd
+    from clj_nlp_parse_spark import queries as Q
+
+    rnd = random.Random(41)
+    vocab = (["customer", "spark", "join", "scan", "sort", "merge",
+              "table", "window", "row", "key", "the", "a", "is", "am",
+              "was", "running", "quickly", "i", "they", "paul", "fast",
+              "slow", "and", "of"]
+             + _random_tokens(30, seed=7)[:20])
+    docs = []
+    for i in range(120):
+        words = [rnd.choice(vocab) for _ in range(rnd.randint(0, 18))]
+        docs.append((i, " ".join(words), "en"))
+    docs += [(900, "", "en"), (901, None, "en"), (902, "?!—", "en")]
+
+    sdf = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    con = _dd.connect()
+    con.register("documents", pd.DataFrame(
+        docs, columns=["doc_id", "text", "lang"]))
+
+    import numpy as np
+    for name in ["parse_tree_edges", "dep_tree_edges", "model_mentions",
+                 "mention_features_union", "tree_features"]:
+        import unittest.mock as mock
+        with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+            got = Q.QUERIES[name](spark, "ignored").toPandas()
+        want = con.sql(Q.ORACLES[name]).df()
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        want = want[sorted(want.columns)].reset_index(drop=True)
+        assert got.shape == want.shape, (name, got.shape, want.shape)
+        assert len(got) > 150 or name in (
+            "mention_features_union", "tree_features"), name  # non-vacuous
+        for c in got.columns:
+            a, b = got[c], want[c]
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                assert np.allclose(a.astype(float).fillna(-9e99),
+                                   b.astype(float).fillna(-9e99)), (name, c)
+            else:
+                assert (a.astype(object).where(pd.notna(a), None).tolist()
+                        == b.astype(object).where(pd.notna(b), None)
+                        .tolist()), (name, c)
