@@ -1868,6 +1868,61 @@ def q_cosine_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dedup_groups",
+    f"""
+    WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL
+               SELECT vec_id + 1000000, embedding
+               FROM embeddings WHERE vec_id < 50),
+    vb AS (SELECT vec_id, embedding, {_SB_DUCK} AS b FROM e),
+    pairs AS (SELECT a.vec_id AS u, b.vec_id AS v
+              FROM vb a JOIN vb b ON a.b = b.b AND a.vec_id < b.vec_id
+              WHERE {_COS_DUCK} >= 0.99),
+    edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+    reach AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u),
+    comp AS (SELECT u AS node, least(u, min(v)) AS component
+             FROM reach GROUP BY u)
+    SELECT e.vec_id AS vec_id,
+           coalesce(c.component, e.vec_id) AS component,
+           coalesce(c.component, e.vec_id) = e.vec_id AS keep
+    FROM e LEFT JOIN comp c ON c.node = e.vec_id
+    ORDER BY e.vec_id""",
+)
+def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-modality dedup GROUPS + canonical keep list — completes
+    the dedup-groups family across all three modalities (text
+    dedup_groups, image image_dedup_groups, embeddings here): hyperplane
+    sign-bucket candidate pairs verified at cosine >= 0.99 → connected
+    components → one canonical vector kept per near-duplicate cluster.
+
+    Same identical-content blowup guard as the other two (collapse_exact):
+    byte-identical embeddings collapse to a representative before the
+    bucket self-join (m copies cost m-1 star edges, not m²/2 pairs);
+    zero-norm vectors get a per-row key and stay singletons (cosine
+    against a zero vector is defined as 0 here, so they can never pair)."""
+    emb = _emb(spark, sf_dir)
+    dups = (emb.where(F.col("vec_id") < 50)
+            .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                    "embedding"))
+    e = emb.select("vec_id", "embedding").unionByName(dups)
+    key = F.when(
+        F.expr(f"({SIM.norm_sql('embedding', 'spark')}) > 0"),
+        F.md5(F.col("embedding").cast("string"))) \
+        .otherwise(F.concat(F.lit("!"), F.col("vec_id").cast("string")))
+    reps, star = DD.collapse_exact(e, "vec_id", key)
+    pairs = SIM.cosine_dedup_pairs(reps, threshold=0.99, dim=64, n_planes=6)
+    edges = (pairs.select(F.col("id_a").alias("doc_a"),
+                          F.col("id_b").alias("doc_b"))
+             .unionByName(star))
+    comp = DD.connected_components(edges, "doc_a", "doc_b")
+    return DD.keep_list(e.select("vec_id"), comp, "vec_id") \
+             .orderBy("vec_id")
+
+
+@register(
     "jaccard_pairs_capped",
     _WD_CTE + f"""
     , sh AS (SELECT doc_id, {DD.word_shingles_sql('words', 3, 'duck')}
