@@ -276,6 +276,92 @@ def dep_edges_sql(ws: str, tg: str, ch: str, d: str = "spark") -> str:
             f"i -> i != rt), i -> {dep})) END")
 
 
+# ------------------------------------------------------------ Python twin
+# Independent reimplementation of the tree grammar (dialect.py "Python
+# twins" pattern): used by the fuzz suite as a THIRD comparator alongside
+# the Spark and DuckDB renderings, so tree parity does not rest solely on
+# dialect-paired SQL generated from one builder.
+
+
+def _chunks_py(tags: list[str]) -> list[dict]:
+    """Kept chunk runs with attachment flags, plain Python."""
+    cls = ["NP" if t in NP_TAGS else "VP" if t in VP_TAGS else None
+           for t in tags]
+    runs, i = [], 0
+    while i < len(cls):
+        if cls[i] is None:
+            i += 1
+            continue
+        j = i
+        while j < len(cls) and cls[j] == cls[i]:
+            j += 1
+        heads = NP_HEAD_TAGS if cls[i] == "NP" else VP_HEAD_TAGS
+        if any(tags[k] in heads for k in range(i, j)):
+            runs.append({"label": cls[i], "beg": i, "fin": j})
+        i = j
+    for c in runs:
+        c["pvp"] = next((v["beg"] for v in runs
+                         if c["label"] == "NP" and v["label"] == "VP"
+                         and v["fin"] == c["beg"]), None)
+        c["dvp"] = (c["label"] == "VP"
+                    and any(k["label"] == "NP" and k["beg"] == c["fin"]
+                            for k in runs))
+    return runs
+
+
+def tree_ser_py(words: list[str]) -> str:
+    """Canonical bracket serialization, independent Python implementation
+    (tags via dialect.pos_py)."""
+    from clj_nlp_parse_spark import dialect as dlect
+    tags = [dlect.pos_py(w) for w in words]
+    ch = _chunks_py(tags)
+    if not words:
+        return "(ROOT (S))"
+    parts = []
+    for i, (w, t) in enumerate(zip(words, tags)):
+        pre = next(("(" + c["label"] + " " for c in ch if c["beg"] == i), "")
+        c_end = next((c for c in ch if c["fin"] == i + 1), None)
+        if c_end is None:
+            post = ""
+        elif c_end["dvp"]:
+            post = ""
+        elif c_end["pvp"] is not None:
+            post = "))"
+        else:
+            post = ")"
+        parts.append(f"{pre}({t} {w}){post}")
+    return "(ROOT (S " + " ".join(parts) + "))"
+
+
+def dep_edges_py(words: list[str]) -> list[tuple[int, int, str]]:
+    """Dependency edges (head, dependent, label), independent Python
+    implementation — 1-based indices, head 0 for the root."""
+    from clj_nlp_parse_spark import dialect as dlect
+    from clj_nlp_parse_spark import schema
+    if not words:
+        return []
+    tags = [dlect.pos_py(w) for w in words]
+    ch = _chunks_py(tags)
+    rt = next((i + 1 for i, t in enumerate(tags)
+               if t in schema.VERB_TAGS), 1)
+    out = [(0, rt, "root")]
+    for i in range(1, len(words) + 1):
+        if i == rt:
+            continue
+        c = next((c for c in ch if c["beg"] <= i - 1 < c["fin"]), None)
+        hd = None
+        if c is not None:
+            heads = NP_HEAD_TAGS if c["label"] == "NP" else VP_HEAD_TAGS
+            hs = [j for j in range(c["beg"] + 1, c["fin"] + 1)
+                  if tags[j - 1] in heads]
+            hd = hs[-1] if hs else None
+        if hd is not None and hd != i:
+            out.append((hd, i, "mod"))
+        else:
+            out.append((rt, i, "dep"))
+    return out
+
+
 def root_index_sql(tg: str, d: str = "duck") -> str:
     """1-based root token index: first verb-typed token, else 1."""
     from clj_nlp_parse_spark import schema

@@ -339,3 +339,33 @@ def test_trees_and_ner_fuzz_two_way(spark):
                 assert (a.astype(object).where(pd.notna(a), None).tolist()
                         == b.astype(object).where(pd.notna(b), None)
                         .tolist()), (name, c)
+
+
+def test_tree_python_twin_three_way(spark):
+    """tree_ser_py / dep_edges_py are INDEPENDENT Python implementations of
+    the tree grammar — the Spark rendering must agree with them on random
+    docs, giving tree parity a third comparator beyond the dialect-paired
+    SQL (same pattern as dialect.pos_py/lemma_py)."""
+    from clj_nlp_parse_spark.operators import trees as TR
+
+    rnd = random.Random(43)
+    vocab = ["the", "a", "fast", "table", "runs", "is", "am", "running",
+             "quickly", "i", "paul", "scan", "and", "of", "was", "been",
+             "slow", "he", "3", "my"] + _random_tokens(20, seed=9)[:12]
+    docs = [(i, " ".join(rnd.choice(vocab)
+                         for _ in range(rnd.randint(0, 15))))
+            for i in range(150)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = TR.with_tree(sdf).select("doc_id", "tree_ser", "dep_edges") \
+        .collect()
+    import re as _re
+    n_nonempty = 0
+    for r in rows:
+        text = dict(docs)[r.doc_id]
+        words = _re.findall(dialect.TOKEN_RE, (text or "").lower())
+        assert r.tree_ser == TR.tree_ser_py(words), (r.doc_id, words)
+        got_dep = sorted((e.head, e.dependent, e.label)
+                         for e in r.dep_edges)
+        assert got_dep == sorted(TR.dep_edges_py(words)), (r.doc_id, words)
+        n_nonempty += bool(words)
+    assert n_nonempty > 100
