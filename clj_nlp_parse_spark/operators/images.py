@@ -123,6 +123,51 @@ def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return arr[ys][:, xs]
 
 
+RESIZED_FIELDS = ("image_id string, bytes binary, w int, h int, "
+                  "fmt string, resize_ok boolean")
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  on_error: str = "null") -> DataFrame:
+    """Table-level resize — the standard preprocessing step of an image
+    training pipeline (normalize every image to the model's input size):
+    decode → nearest-neighbor resize → re-encode as 'raw', one Arrow stage.
+
+    Unlike the feature extractors this op's OUTPUT is the bytes (a resized
+    images table for the training reader), so the bytes-never-shuffle rule
+    applies to what follows: write the result straight to storage
+    partitioned by its natural key; do not join it. Deterministic
+    (nearest-neighbor, no filtering), so re-runs are byte-identical —
+    resumable at the partition level like every materialization here.
+    on_error='null' emits resize_ok=false with NULL bytes instead of
+    killing the stage on one corrupt image."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
+                                   "resize_ok")}
+            for r in pdf.itertuples(index=False):
+                try:
+                    arr = decode_image(r.bytes, r.w, r.h, r.fmt)
+                    rb = resize_nearest(arr, out_w, out_h).tobytes()
+                    ok = True
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    rb, ok = None, False
+                out["image_id"].append(r.image_id)
+                out["bytes"].append(rb)
+                out["w"].append(out_w if ok else None)
+                out["h"].append(out_h if ok else None)
+                out["fmt"].append("raw" if ok else None)
+                out["resize_ok"].append(ok)
+            yield pd.DataFrame(out)
+
+    return df.select("image_id", "bytes", "w", "h", "fmt") \
+             .mapInPandas(run, schema=RESIZED_FIELDS)
+
+
 # ------------------------------------------------------------ video / audio
 # Same design contract as images: opaque binary column + typed metadata,
 # one Arrow stage decode → features → drop bytes; 'raw*'/pcm16 paths fully

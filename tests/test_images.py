@@ -90,6 +90,39 @@ def test_resize_nearest_shape():
     assert out.shape == (16, 16, 3)
 
 
+def test_resize_images_table_op(spark):
+    # the DataFrame-level resize: Spark-side schema/batch plumbing is real;
+    # the emitted raw bytes decode to exactly resize_nearest(decode(orig)),
+    # corrupt rows yield resize_ok=false instead of failing the stage, and
+    # re-runs are byte-identical (deterministic nearest-neighbor)
+    import numpy as np
+    imgs = synth.synth_images(spark, 20, partitions=4)
+    bad = imgs.limit(1).select(
+        "image_id", F.lit(b"xx").alias("bytes"), "w", "h", "fmt") \
+        .withColumn("image_id", F.lit("corrupt"))
+    src = imgs.select("image_id", "bytes", "w", "h", "fmt").unionByName(bad)
+    out = images.resize_images(src, 16, 12).collect()
+    by_id = {r.image_id: r for r in out}
+    assert by_id["corrupt"].resize_ok is False
+    assert by_id["corrupt"].bytes is None
+    orig = {r.image_id: r for r in imgs.collect()}
+    n_ok = 0
+    for iid, r in by_id.items():
+        if iid == "corrupt":
+            continue
+        assert r.resize_ok and r.w == 16 and r.h == 12 and r.fmt == "raw"
+        o = orig[iid]
+        want = images.resize_nearest(
+            images.decode_image(o.bytes, o.w, o.h, o.fmt), 16, 12)
+        got = np.frombuffer(r.bytes, dtype=np.uint8).reshape(12, 16, 3)
+        assert np.array_equal(got, want)
+        n_ok += 1
+    assert n_ok == 20
+    again = {r.image_id: r.bytes
+             for r in images.resize_images(src, 16, 12).collect()}
+    assert all(again[i] == by_id[i].bytes for i in by_id)
+
+
 def test_video_frame_sampling(spark):
     # raw video: deterministic bytes, every_k sampling, ts from fps
     rng = np.random.default_rng(11)
