@@ -1276,6 +1276,79 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curation_pipeline",
+    _WD_CTE + f"""
+    , tr0 AS (SELECT * FROM wd WHERE doc_id % 97 <> 0)
+    , q AS (SELECT doc_id, text, words,
+              {TS.lang_id_sql('words', 'duck')} AS lang_pred,
+              {TS.quality_score_sql('text', 'words', 'duck')} AS quality,
+              CAST(len(words) AS BIGINT) AS n_words,
+              md5({DD.norm_text_sql('text', 'duck')}) AS text_hash
+            FROM tr0)
+    , d AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY text_hash)
+              AS keep_exact FROM q)
+    , sh AS (SELECT doc_id, {DD.word_shingles_sql('words', 3, 'duck')}
+               AS shingles FROM wd)
+    , ev AS (SELECT DISTINCT unnest(shingles) AS s FROM sh
+             WHERE doc_id % 97 = 0)
+    , trs AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+              WHERE doc_id % 97 <> 0)
+    , bad AS (SELECT DISTINCT trs.doc_id FROM trs JOIN ev ON trs.s = ev.s)
+    SELECT d.doc_id,
+           CASE WHEN d.lang_pred <> 'en' THEN 'not_en'
+                WHEN d.quality < 0.4 THEN 'low_quality'
+                WHEN d.n_words < 10 THEN 'too_short'
+                WHEN NOT d.keep_exact THEN 'exact_dup'
+                WHEN b.doc_id IS NOT NULL THEN 'contaminated'
+                ELSE 'admitted' END AS reason,
+           CASE WHEN d.lang_pred <> 'en' THEN 'not_en'
+                WHEN d.quality < 0.4 THEN 'low_quality'
+                WHEN d.n_words < 10 THEN 'too_short'
+                WHEN NOT d.keep_exact THEN 'exact_dup'
+                WHEN b.doc_id IS NOT NULL THEN 'contaminated'
+                ELSE 'admitted' END = 'admitted' AS keep
+    FROM d LEFT JOIN bad b ON b.doc_id = d.doc_id
+    ORDER BY d.doc_id""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data admission decision as ONE composed plan —
+    what a 100 TB curation job actually submits: language-ID + quality +
+    min-length gates, exact-dedup keep (hash-keyed window), and eval-set
+    decontamination (broadcast shingle semi-probe), with a first-failing
+    REASON per document (the per-stage drop accounting every curation run
+    reports). One corpus scan + one window shuffle + one broadcast probe;
+    near-dup GROUP dropping stays the separate dedup_groups op (its CC
+    loop is iterative) and composes downstream on the keep list."""
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    from pyspark.sql import Window
+    wd = tr.withColumn("words", F.expr(dialect.tokens_expr("text", "spark")))
+    q = wd.select(
+        "doc_id", "text", "words",
+        F.expr(TS.lang_id_sql("words", "spark")).alias("lang_pred"),
+        F.expr(TS.quality_score_sql("text", "words", "spark"))
+        .alias("quality"),
+        F.expr("size(words)").cast("long").alias("n_words"),
+        F.expr(f"md5({DD.norm_text_sql('text', 'spark')})")
+        .alias("text_hash"))
+    w = Window.partitionBy("text_hash")
+    d = q.withColumn("keep_exact",
+                     F.col("doc_id") == F.min("doc_id").over(w))
+    flags = DD.decontaminate(tr, ev, n=3)
+    out = d.join(flags.select("doc_id", "contaminated"), "doc_id", "left")
+    reason = (F.when(F.col("lang_pred") != "en", "not_en")
+              .when(F.col("quality") < 0.4, "low_quality")
+              .when(F.col("n_words") < 10, "too_short")
+              .when(~F.col("keep_exact"), "exact_dup")
+              .when(F.col("contaminated"), "contaminated")
+              .otherwise("admitted"))
+    return (out.select("doc_id", reason.alias("reason"),
+                       (reason == "admitted").alias("keep"))
+            .orderBy("doc_id"))
+
+
+@register(
     "stratified_sample",
     """
     WITH ranked AS (
