@@ -208,6 +208,17 @@ def test_corpus_profile_histogram_percentiles_no_per_row_window(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
 
+def test_curation_pipeline_one_window_broadcast_probe(spark, sf_dir):
+    # the composed admission plan must stay: one hash-keyed window on the
+    # text hash + a broadcast semi-probe for contamination — never a
+    # shuffle of the training corpus for the eval join, never Python
+    from clj_nlp_parse_spark import queries as Q
+    plan = _plan(Q.QUERIES["curation_pipeline"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan.split("LeftSemi")[0]
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
 def test_cm_point_estimates_broadcasts_sketch(spark):
     from clj_nlp_parse_spark.operators import sketches as SK
     df = spark.createDataFrame([("a",), ("b",)], "item string")
