@@ -35,7 +35,7 @@ HEADLINE = [
     "jaccard_pairs_prefix", "ivf_topk",
     "text_stats", "dict_mentions_options",
     "dedup_groups", "image_dedup_groups", "embedding_dedup_groups",
-    "decontaminate", "curation_pipeline",
+    "decontaminate", "curation_pipeline", "curation_incremental",
     "stratified_sample", "pii_scrub", "repetition_stats",
     "corpus_profile", "sequence_packing", "np_vp_chunks",
     "parse_tree_edges", "dep_tree_edges",

@@ -1,0 +1,106 @@
+"""End-to-end corpus curation: the admission decision and its incremental
+maintenance loop.
+
+`curation_decide` composes the gates a 100 TB curation job runs in ONE
+plan (language-ID + quality + min-length, exact-dedup keep, eval-set
+decontamination) with a first-failing drop REASON per document.
+
+`incremental_curation` is the production update shape (the daily crawl
+increment): only the NEW batch is scored; the historical state a running
+pipeline maintains is just the (text_hash, min_doc_id) table. Correctness
+contract (oracle-checked by the curation_incremental query, same pattern
+as incremental_asof_update): output == full curation_decide(base ∪ batch)
+whenever batch ids are all NEWER than base ids — which is exactly what a
+crawl increment is. Under that contract no old decision can change: the
+exact-dedup keep is min-id per hash (new ids can never steal it), and the
+eval set is fixed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark import dialect
+from clj_nlp_parse_spark.operators import dedup as DD
+from clj_nlp_parse_spark.operators import textstats as TS
+
+
+def _scored(tr: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc gate columns: lang_pred, quality, n_words, text_hash."""
+    wd = tr.withColumn(
+        "words", F.expr(dialect.tokens_expr(text_col, "spark")))
+    return wd.select(
+        id_col,
+        F.expr(TS.lang_id_sql("words", "spark")).alias("lang_pred"),
+        F.expr(TS.quality_score_sql(text_col, "words", "spark"))
+        .alias("quality"),
+        F.expr("size(words)").cast("long").alias("n_words"),
+        F.expr(f"md5({DD.norm_text_sql(text_col, 'spark')})")
+        .alias("text_hash"))
+
+
+def _reason_col():
+    return (F.when(F.col("lang_pred") != "en", "not_en")
+            .when(F.col("quality") < 0.4, "low_quality")
+            .when(F.col("n_words") < 10, "too_short")
+            .when(~F.col("keep_exact"), "exact_dup")
+            .when(F.col("contaminated"), "contaminated")
+            .otherwise("admitted"))
+
+
+def curation_decide(tr: DataFrame, ev: DataFrame, n: int = 3,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Full admission decision: (id, reason, keep). One corpus scan + one
+    hash-keyed window + one broadcast shingle semi-probe."""
+    q = _scored(tr, id_col, text_col)
+    w = Window.partitionBy("text_hash")
+    d = q.withColumn("keep_exact",
+                     F.col(id_col) == F.min(id_col).over(w))
+    flags = DD.decontaminate(tr, ev, n=n, id_col=id_col, text_col=text_col)
+    out = d.join(flags.select(id_col, "contaminated"), id_col, "left")
+    reason = _reason_col()
+    return out.select(id_col, reason.alias("reason"),
+                      (reason == "admitted").alias("keep"))
+
+
+def hash_state(tr: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """The ONLY historical state incremental curation needs:
+    (text_hash, min id seen) — tiny relative to the corpus, maintainable
+    as a merge-on-hash table."""
+    h = F.expr(f"md5({DD.norm_text_sql(text_col, 'spark')})")
+    return (tr.select(F.col(id_col), h.alias("text_hash"))
+            .groupBy("text_hash")
+            .agg(F.min(id_col).alias("min_id")))
+
+
+def incremental_curation(prev_out: DataFrame, prev_hashes: DataFrame,
+                         batch: DataFrame, ev: DataFrame, n: int = 3,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Score ONLY the new batch; pass prior decisions through untouched.
+
+    Requires every batch id > every historical id (a crawl increment).
+    The batch's exact-dedup keep consults the batch-local window min AND
+    the historical (text_hash, min_id) state: a hash seen before can never
+    be kept again. The corpus is never rescanned — work is proportional to
+    the batch plus one join against the hash state (shuffle join; the
+    state is corpus-distinct-texts-sized, usually NOT broadcastable)."""
+    q = _scored(batch, id_col, text_col)
+    w = Window.partitionBy("text_hash")
+    d = (q.withColumn("__bmin", F.min(id_col).over(w))
+         .join(prev_hashes.select("text_hash",
+                                  F.col("min_id").alias("__hmin")),
+               "text_hash", "left")
+         .withColumn("keep_exact",
+                     F.col("__hmin").isNull()
+                     & (F.col(id_col) == F.col("__bmin"))))
+    flags = DD.decontaminate(batch, ev, n=n, id_col=id_col,
+                             text_col=text_col)
+    out = d.join(flags.select(id_col, "contaminated"), id_col, "left")
+    reason = _reason_col()
+    rec = out.select(id_col, reason.alias("reason"),
+                     (reason == "admitted").alias("keep"))
+    return prev_out.unionByName(rec)

@@ -1275,9 +1275,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.decontaminate(tr, ev, n=3).orderBy("doc_id")
 
 
-@register(
-    "curation_pipeline",
-    _WD_CTE + f"""
+_CURATION_SQL = _WD_CTE + f"""
     , tr0 AS (SELECT * FROM wd WHERE doc_id % 97 <> 0)
     , q AS (SELECT doc_id, text, words,
               {TS.lang_id_sql('words', 'duck')} AS lang_pred,
@@ -1308,8 +1306,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN b.doc_id IS NOT NULL THEN 'contaminated'
                 ELSE 'admitted' END = 'admitted' AS keep
     FROM d LEFT JOIN bad b ON b.doc_id = d.doc_id
-    ORDER BY d.doc_id""",
-)
+    ORDER BY d.doc_id"""
+
+
+@register("curation_pipeline", _CURATION_SQL)
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE training-data admission decision as ONE composed plan —
     what a 100 TB curation job actually submits: language-ID + quality +
@@ -1319,33 +1319,36 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports). One corpus scan + one window shuffle + one broadcast probe;
     near-dup GROUP dropping stays the separate dedup_groups op (its CC
     loop is iterative) and composes downstream on the keep list."""
+    from clj_nlp_parse_spark.operators import curation as CU
     docs = _docs(spark, sf_dir)
     ev = docs.where(F.col("doc_id") % 97 == 0)
     tr = docs.where(F.col("doc_id") % 97 != 0)
-    from pyspark.sql import Window
-    wd = tr.withColumn("words", F.expr(dialect.tokens_expr("text", "spark")))
-    q = wd.select(
-        "doc_id", "text", "words",
-        F.expr(TS.lang_id_sql("words", "spark")).alias("lang_pred"),
-        F.expr(TS.quality_score_sql("text", "words", "spark"))
-        .alias("quality"),
-        F.expr("size(words)").cast("long").alias("n_words"),
-        F.expr(f"md5({DD.norm_text_sql('text', 'spark')})")
-        .alias("text_hash"))
-    w = Window.partitionBy("text_hash")
-    d = q.withColumn("keep_exact",
-                     F.col("doc_id") == F.min("doc_id").over(w))
-    flags = DD.decontaminate(tr, ev, n=3)
-    out = d.join(flags.select("doc_id", "contaminated"), "doc_id", "left")
-    reason = (F.when(F.col("lang_pred") != "en", "not_en")
-              .when(F.col("quality") < 0.4, "low_quality")
-              .when(F.col("n_words") < 10, "too_short")
-              .when(~F.col("keep_exact"), "exact_dup")
-              .when(F.col("contaminated"), "contaminated")
-              .otherwise("admitted"))
-    return (out.select("doc_id", reason.alias("reason"),
-                       (reason == "admitted").alias("keep"))
-            .orderBy("doc_id"))
+    return CU.curation_decide(tr, ev, n=3).orderBy("doc_id")
+
+
+# oracle = the FULL recompute: incremental maintenance must be
+# indistinguishable from rerunning the whole pipeline
+@register("curation_incremental", _CURATION_SQL)
+def q_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation maintenance — the daily-crawl-increment job:
+    the corpus is split at the 80th percentile of ids (a crawl increment
+    always has NEWER ids than history); only the batch is scored, history
+    passes through, and the only state consulted is the
+    (text_hash, min_id) table. Oracle = the full-recompute SQL of
+    curation_pipeline: the incremental output must be bit-identical to
+    rerunning everything (the incremental_asof_update contract). The id
+    threshold is a driver-side scalar max (documented eager metadata
+    lookup, like choose_asof_strategy)."""
+    from clj_nlp_parse_spark.operators import curation as CU
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    thr = tr.agg(F.max("doc_id")).collect()[0][0] * 4 // 5
+    base = tr.where(F.col("doc_id") <= thr)
+    batch = tr.where(F.col("doc_id") > thr)
+    prev = CU.curation_decide(base, ev, n=3)
+    out = CU.incremental_curation(prev, CU.hash_state(base), batch, ev, n=3)
+    return out.orderBy("doc_id")
 
 
 @register(
