@@ -1633,10 +1633,16 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     off_win = (Window.partitionBy("lang").orderBy("__chunk")
                .rowsBetween(Window.unboundedPreceding, -1))
     offsets = sub.select(
-        "lang", "__chunk",
+        F.col("lang").alias("__olang"), F.col("__chunk").alias("__ochunk"),
         F.coalesce(F.sum("chunk_total").over(off_win), F.lit(0))
         .alias("chunk_offset"))
-    c = c.join(F.broadcast(offsets), ["lang", "__chunk"])
+    # eqNullSafe on lang: window PARTITION BY groups NULL langs together,
+    # so the offset join must too — a plain equi-join would silently DROP
+    # every NULL-lang doc (regression-tested vs the single-window layout)
+    c = (c.join(F.broadcast(offsets),
+                F.col("lang").eqNullSafe(F.col("__olang"))
+                & (F.col("__chunk") == F.col("__ochunk")))
+         .drop("__olang", "__ochunk"))
     start = F.col("chunk_offset") + F.col("local_cum") - F.col("n_tokens")
     return (c.select(
         "doc_id", "lang", "n_tokens",

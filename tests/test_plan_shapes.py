@@ -194,6 +194,40 @@ def test_sequence_packing_no_stratum_wide_window(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
 
 
+def test_sequence_packing_two_pass_equals_single_window(spark, monkeypatch):
+    # the chunked two-pass cumsum must reproduce the naive per-stratum
+    # window layout EXACTLY, including NULL-lang strata, empty docs, and
+    # single-doc chunks
+    import random
+    from pyspark.sql import Window
+    from clj_nlp_parse_spark import queries as Q
+    rnd = random.Random(47)
+    docs = [(i, " ".join("w%d" % rnd.randint(0, 9)
+                         for _ in range(rnd.randint(0, 30))),
+             rnd.choice(["en", "de", None]))
+            for i in range(300)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    monkeypatch.setattr(Q, "_docs", lambda _s, _d: sdf)
+    got = sorted((r.doc_id, r.seq_id, r.seq_offset)
+                 for r in Q.QUERIES["sequence_packing"](spark, "x")
+                 .collect())
+    from clj_nlp_parse_spark import dialect
+    w = sdf.select(
+        "doc_id", "lang",
+        F.expr(f"size({dialect.tokens_expr('text', 'spark')})")
+        .cast("long").alias("n_tokens"))
+    win = (Window.partitionBy("lang")
+           .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = w.withColumn("cum", F.sum("n_tokens").over(win))
+    start = F.col("cum") - F.col("n_tokens")
+    want = sorted((r.doc_id, r.seq_id, r.seq_offset) for r in c.select(
+        "doc_id",
+        F.floor(start / 512).cast("long").alias("seq_id"),
+        (start % 512).cast("long").alias("seq_offset")).collect())
+    assert got == want
+
+
 def test_corpus_profile_histogram_percentiles_no_per_row_window(spark, sf_dir):
     # VERDICT_r02 #2: percentiles must come from the (lang, n_tokens)
     # histogram — no row_number / full-stratum sort over corpus rows; every
