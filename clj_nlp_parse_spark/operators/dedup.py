@@ -469,6 +469,10 @@ def dedup_groups(df: DataFrame, threshold: float = 0.5,
                  F.md5(F.expr(norm_text_sql(text_col, "spark")))) \
         .otherwise(F.concat(F.lit("!"), F.col(id_col).cast("string")))
     reps, star = collapse_exact(df.select(id_col, text_col), id_col, key)
+    # the prefix-pair pipeline reads reps from several branches (freq join,
+    # both prefix sides, both verify sides) — cut the collapse window out
+    # of every recompute (same localCheckpoint hygiene as the CC loop)
+    reps = reps.localCheckpoint()
     pairs = ngram_jaccard_pairs_prefix(reps, threshold, id_col, text_col, n)
     edges = pairs.select("doc_a", "doc_b").unionByName(star)
     comp = connected_components(edges, "doc_a", "doc_b")

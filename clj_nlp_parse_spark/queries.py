@@ -1101,6 +1101,9 @@ def q_image_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherits every cross-group band match."""
     allv = _phash_corpus(spark, sf_dir)
     reps, star = DD.collapse_exact(allv, "doc_id", F.col("ph"))
+    # banded pair join reads reps twice (both self-join sides): checkpoint
+    # so the collapse window runs once
+    reps = reps.localCheckpoint()
     pairs = DD.phash_near_dup_pairs(reps, max_hamming=2, phash_col="ph")
     edges = (pairs.select(F.col("id_a").alias("doc_a"),
                           F.col("id_b").alias("doc_b"))
@@ -1995,6 +1998,8 @@ def q_embedding_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("embedding").cast("string"))) \
         .otherwise(F.concat(F.lit("!"), F.col("vec_id").cast("string")))
     reps, star = DD.collapse_exact(e, "vec_id", key)
+    # bucket self-join reads reps twice: checkpoint the collapse window
+    reps = reps.localCheckpoint()
     pairs = SIM.cosine_dedup_pairs(reps, threshold=0.99, dim=64, n_planes=6)
     edges = (pairs.select(F.col("id_a").alias("doc_a"),
                           F.col("id_b").alias("doc_b"))
