@@ -65,6 +65,19 @@ def streaming_caption_features(stream: DataFrame,
     )
 
 
+def streaming_image_features(stream: DataFrame,
+                             buckets: int = 64) -> DataFrame:
+    """Streaming image feature extraction — the ingest-side of the
+    north-rule pipeline run continuously: the SAME one-Arrow-stage
+    decode → stats → drop-bytes operator as batch (mapInPandas is
+    stateless per batch, so extract_image_features streams unchanged),
+    fed by readStream over the images table. Bytes still never cross a
+    shuffle: the stage runs straight off the streaming scan and only the
+    ~48-byte feature rows reach the sink / downstream stateful as-of."""
+    from clj_nlp_parse_spark.operators.images import extract_image_features
+    return extract_image_features(stream, buckets=buckets)
+
+
 def streaming_asof_carry(stream: DataFrame,
                          entity: str = "entity_id",
                          ts: str = "ts",

@@ -74,6 +74,32 @@ def test_streaming_caption_features_match_batch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_image_features_match_batch(spark, tmp_path):
+    # the one-Arrow-stage image op streams unchanged: availableNow over a
+    # file source must produce exactly the batch features, including the
+    # corrupt-row containment path
+    from clj_nlp_parse_spark import synth
+    from clj_nlp_parse_spark.operators import images
+    imgs = synth.synth_images(spark, 12, partitions=2)
+    bad = imgs.limit(1).select(
+        F.lit("corrupt").alias("image_id"), F.lit(b"zz").alias("bytes"),
+        "w", "h", "fmt", "entity_id", "event_ts", "phash")
+    src = imgs.select("image_id", "bytes", "w", "h", "fmt", "entity_id",
+                      "event_ts", "phash").unionByName(bad)
+    p = str(tmp_path / "simg")
+    src.coalesce(1).write.mode("overwrite").parquet(p)
+    sdf = spark.readStream.schema(src.schema).parquet(p)
+    sink = str(tmp_path / "simg_out")
+    ST.run_available_now_to_parquet(
+        ST.streaming_image_features(sdf), sink, str(tmp_path / "simg_ckpt"))
+    got = {r.image_id: (r.phash_bucket, r.px_mean_r, r.decode_ok)
+           for r in spark.read.parquet(sink).collect()}
+    want = {r.image_id: (r.phash_bucket, r.px_mean_r, r.decode_ok)
+            for r in images.extract_image_features(src).collect()}
+    assert got == want and len(got) == 13
+    assert got["corrupt"][2] is False
+
+
 def test_streaming_asof_carry_stateful(spark, tmp_path):
     # unified feature+event stream; state carries the latest feature across
     # micro-batches AND across query restarts (checkpointed GroupState)
