@@ -58,8 +58,14 @@ def curation_decide(tr: DataFrame, ev: DataFrame, n: int = 3,
     w = Window.partitionBy("text_hash")
     d = q.withColumn("keep_exact",
                      F.col(id_col) == F.min(id_col).over(w))
-    flags = DD.decontaminate(tr, ev, n=n, id_col=id_col, text_col=text_col)
-    out = d.join(flags.select(id_col, "contaminated"), id_col, "left")
+    # join the SMALL contaminated-id set (the oracle's `bad` side), never a
+    # corpus-sized per-doc flags relation — at 10^12 rows the flags join
+    # would be a full-corpus shuffle (review r03 #2)
+    bad = DD.contaminated_ids(tr, ev, n=n, id_col=id_col,
+                              text_col=text_col)
+    out = (d.join(bad.withColumn("__c", F.lit(True)), id_col, "left")
+           .withColumn("contaminated",
+                       F.coalesce(F.col("__c"), F.lit(False))))
     reason = _reason_col()
     return out.select(id_col, reason.alias("reason"),
                       (reason == "admitted").alias("keep"))
@@ -97,9 +103,11 @@ def incremental_curation(prev_out: DataFrame, prev_hashes: DataFrame,
          .withColumn("keep_exact",
                      F.col("__hmin").isNull()
                      & (F.col(id_col) == F.col("__bmin"))))
-    flags = DD.decontaminate(batch, ev, n=n, id_col=id_col,
-                             text_col=text_col)
-    out = d.join(flags.select(id_col, "contaminated"), id_col, "left")
+    bad = DD.contaminated_ids(batch, ev, n=n, id_col=id_col,
+                              text_col=text_col)
+    out = (d.join(bad.withColumn("__c", F.lit(True)), id_col, "left")
+           .withColumn("contaminated",
+                       F.coalesce(F.col("__c"), F.lit(False))))
     reason = _reason_col()
     rec = out.select(id_col, reason.alias("reason"),
                      (reason == "admitted").alias("keep"))

@@ -493,6 +493,26 @@ def keep_list(ids: DataFrame, components: DataFrame,
             .select(id_col, "component", "keep"))
 
 
+def contaminated_ids(train: DataFrame, eval_df: DataFrame, n: int = 5,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Distinct ids of training docs sharing an n-gram with the eval set —
+    the SMALL side of the decontamination decision (typically a tiny
+    fraction of the corpus). Same plan as decontaminate's probe: eval
+    shingles broadcast into a left-semi probe of the exploded training
+    shingles, no training-side shuffle."""
+    t_sh = (train.withColumn(
+        "words", F.expr(dialect.tokens_expr(text_col, "spark")))
+        .withColumn("__sh", F.expr(word_shingles_sql("words", n, "spark")))
+        .select(F.col(id_col), F.explode("__sh").alias("s")))
+    e_sh = (eval_df.withColumn(
+        "words", F.expr(dialect.tokens_expr(text_col, "spark")))
+        .withColumn("__sh", F.expr(word_shingles_sql("words", n, "spark")))
+        .select(F.explode("__sh").alias("s")).distinct())
+    return (t_sh.join(F.broadcast(e_sh), "s", "left_semi")
+            .select(id_col).distinct())
+
+
 def decontaminate(train: DataFrame, eval_df: DataFrame, n: int = 5,
                   id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
@@ -508,16 +528,7 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, n: int = 5,
     and NO shuffle of training data; contaminated ids then anti-join back.
     Output: (id, contaminated, keep) for every training doc.
     """
-    t_sh = (train.withColumn(
-        "words", F.expr(dialect.tokens_expr(text_col, "spark")))
-        .withColumn("__sh", F.expr(word_shingles_sql("words", n, "spark")))
-        .select(F.col(id_col), F.explode("__sh").alias("s")))
-    e_sh = (eval_df.withColumn(
-        "words", F.expr(dialect.tokens_expr(text_col, "spark")))
-        .withColumn("__sh", F.expr(word_shingles_sql("words", n, "spark")))
-        .select(F.explode("__sh").alias("s")).distinct())
-    bad = (t_sh.join(F.broadcast(e_sh), "s", "left_semi")
-           .select(id_col).distinct())
+    bad = contaminated_ids(train, eval_df, n, id_col, text_col)
     return (train.select(F.col(id_col))
             .join(bad.withColumn("__c", F.lit(True)), id_col, "left")
             .withColumn("contaminated",

@@ -92,8 +92,13 @@ def extract_image_features(df: DataFrame, buckets: int = 64,
                 out["image_id"].append(r.image_id)
                 out["entity_id"].append(r.entity_id)
                 out["feature_ts"].append(r.event_ts)
-                out["phash"].append(r.phash)
-                out["phash_bucket"].append(int(r.phash) % buckets)
+                # NULL phash must not kill the task (pandas delivers it as
+                # NaN; int(nan) raises — and a streaming query would replay
+                # the same poisoned micro-batch forever)
+                ph_ok = r.phash is not None and not pd.isna(r.phash)
+                out["phash"].append(int(r.phash) if ph_ok else None)
+                out["phash_bucket"].append(
+                    int(r.phash) % buckets if ph_ok else None)
                 out["px_mean_r"].append(mr)
                 out["px_mean_g"].append(mg)
                 out["px_mean_b"].append(mb)

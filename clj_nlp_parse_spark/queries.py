@@ -1346,7 +1346,8 @@ def q_curation_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     ev = docs.where(F.col("doc_id") % 97 == 0)
     tr = docs.where(F.col("doc_id") % 97 != 0)
-    thr = tr.agg(F.max("doc_id")).collect()[0][0] * 4 // 5
+    mx = tr.agg(F.max("doc_id")).collect()[0][0]
+    thr = (mx or 0) * 4 // 5    # empty split → both halves empty, no crash
     base = tr.where(F.col("doc_id") <= thr)
     batch = tr.where(F.col("doc_id") > thr)
     prev = CU.curation_decide(base, ev, n=3)

@@ -244,13 +244,24 @@ def test_corpus_profile_histogram_percentiles_no_per_row_window(spark, sf_dir):
 
 def test_curation_pipeline_one_window_broadcast_probe(spark, sf_dir):
     # the composed admission plan must stay: one hash-keyed window on the
-    # text hash + a broadcast semi-probe for contamination — never a
-    # shuffle of the training corpus for the eval join, never Python
+    # text hash, a broadcast semi-probe for contamination, and the
+    # contamination verdict joined back as the SMALL id set on the BUILD
+    # side (review r03: a corpus-sized per-doc flags relation here becomes
+    # a full-corpus join at scale). No sort-merge join anywhere, no Python.
     from clj_nlp_parse_spark import queries as Q
     plan = _plan(Q.QUERIES["curation_pipeline"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    assert "SortMergeJoin" not in plan.split("LeftSemi")[0]
+    assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # eval shingles: broadcast left-semi probe of the exploded corpus
+    semi = [l for l in plan.splitlines()
+            if "BroadcastHashJoin" in l and "LeftSemi" in l]
+    assert semi, plan
+    # contaminated ids: broadcast BUILD side of the left-outer join — the
+    # corpus is the stream side, never shuffled for this join
+    outer = [l for l in plan.splitlines()
+             if "BroadcastHashJoin" in l and "LeftOuter" in l
+             and "BuildRight" in l]
+    assert outer, plan
 
 
 def test_cm_point_estimates_broadcasts_sketch(spark):
