@@ -90,6 +90,26 @@ def test_resize_nearest_shape():
     assert out.shape == (16, 16, 3)
 
 
+def test_image_features_null_phash_contained(spark):
+    # review r03: int(NaN) outside the decode try/except killed the task —
+    # and a streaming query replays the poisoned micro-batch forever. A
+    # NULL phash row must come through with NULL phash/bucket, decode intact.
+    imgs = synth.synth_images(spark, 3, partitions=1)
+    nulled = imgs.withColumn(
+        "phash", F.when(F.col("image_id") == imgs.first().image_id,
+                        F.lit(None).cast("long")).otherwise(F.col("phash")))
+    rows = {r.image_id: r for r in
+            images.extract_image_features(nulled).collect()}
+    assert len(rows) == 3
+    victim = imgs.first().image_id
+    assert rows[victim].phash is None
+    assert rows[victim].phash_bucket is None
+    assert rows[victim].decode_ok is True          # decode unaffected
+    others = [r for i, r in rows.items() if i != victim]
+    assert all(r.phash is not None and r.phash_bucket is not None
+               for r in others)
+
+
 def test_resize_images_table_op(spark):
     # the DataFrame-level resize: Spark-side schema/batch plumbing is real;
     # the emitted raw bytes decode to exactly resize_nearest(decode(orig)),
