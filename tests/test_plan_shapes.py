@@ -264,6 +264,26 @@ def test_curation_pipeline_one_window_broadcast_probe(spark, sf_dir):
     assert outer, plan
 
 
+def test_model_mentions_pure_projection(spark, sf_dir):
+    # gazetteer NER is a broadcast-literal CASE cascade + per-row run
+    # folding: no join, no shuffle (beyond the final presentation sort),
+    # no Python — the A6 surface must stay a projection at any scale
+    from clj_nlp_parse_spark import queries as Q
+    plan = _plan(Q.QUERIES["model_mentions"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_tree_queries_pure_projection(spark, sf_dir):
+    from clj_nlp_parse_spark import queries as Q
+    for name in ("parse_tree_edges", "dep_tree_edges"):
+        plan = _plan(Q.QUERIES[name](spark, sf_dir))
+        assert "Join" not in plan, name
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEval" not in plan, name
+
+
 def test_cm_point_estimates_broadcasts_sketch(spark):
     from clj_nlp_parse_spark.operators import sketches as SK
     df = spark.createDataFrame([("a",), ("b",)], "item string")
