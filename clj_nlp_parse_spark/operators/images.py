@@ -92,23 +92,36 @@ def extract_image_features(df: DataFrame, buckets: int = 64,
                 out["image_id"].append(r.image_id)
                 out["entity_id"].append(r.entity_id)
                 out["feature_ts"].append(r.event_ts)
-                # NULL phash must not kill the task (pandas delivers it as
-                # NaN; int(nan) raises — and a streaming query would replay
-                # the same poisoned micro-batch forever)
+                # NULL phash must not kill the task, and it must not
+                # corrupt its batch-mates either: a nullable long column
+                # crosses Arrow→pandas as float64, which silently rounds
+                # every phash above 2^53. We therefore ship phash as a
+                # STRING through the Arrow stage (cast below) and parse it
+                # back to an exact Python int here — strings survive NULLs
+                # without a dtype demotion.
                 ph_ok = r.phash is not None and not pd.isna(r.phash)
-                out["phash"].append(int(r.phash) if ph_ok else None)
+                ph = int(r.phash) if ph_ok else None
+                out["phash"].append(ph)
                 out["phash_bucket"].append(
-                    int(r.phash) % buckets if ph_ok else None)
+                    ph % buckets if ph_ok else None)
                 out["px_mean_r"].append(mr)
                 out["px_mean_g"].append(mg)
                 out["px_mean_b"].append(mb)
                 out["px_std"].append(std)
                 out["sharpness"].append(sharp)
                 out["decode_ok"].append(ok)
-            yield pd.DataFrame(out)
+            res = pd.DataFrame(out)
+            # the OUTPUT side has the same trap: pd.DataFrame coerces an
+            # int column containing a None to float64, rounding >2^53
+            # values. Nullable Int64 keeps 64-bit exactness through Arrow.
+            res["phash"] = pd.array(out["phash"], dtype="Int64")
+            res["phash_bucket"] = pd.array(out["phash_bucket"], dtype="Int64")
+            yield res
 
-    cols = ["image_id", "bytes", "w", "h", "fmt", "entity_id",
-            "event_ts", "phash"]
+    cols = [F.col(c) for c in ("image_id", "bytes", "w", "h", "fmt",
+                               "entity_id", "event_ts")]
+    # string-typed phash: exact through pandas even when NULLs are present
+    cols.append(F.col("phash").cast("string").alias("phash"))
     return df.select(*cols).mapInPandas(run, schema=IMAGE_FEATURES_FIELDS)
 
 

@@ -1576,11 +1576,30 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang"))
 
 
-#: md5-prefix width for the distributed cumsum in sequence_packing: each
-#: language stratum is split into 16**k deterministic chunks. 2 hex chars =
-#: 256 chunks bounds every window group to ~stratum/256; widen for larger
-#: corpora (the offset table stays langs x 16**k rows — always broadcastable).
-PACK_CHUNK_HEX = 2
+#: target max rows sorted by one packing window task. The md5-prefix width
+#: k is DERIVED from the corpus (VERDICT_r03 #4): smallest k with
+#: biggest_stratum / 16**k <= this bound, so group size is bounded by a
+#: constant at ANY corpus size instead of stratum/256.
+PACK_TARGET_GROUP_ROWS = 1 << 20
+#: cap on k: the pass-2 offset table is langs x 16**k rows; 16**6 = 16.7M
+#: per lang still aggregates/sorts cheaply (few bytes/row) while bounding
+#: strata up to 16**6 * 2**20 ~= 1.8e13 rows — beyond 100 TB of documents.
+PACK_CHUNK_HEX_MAX = 6
+
+
+def choose_pack_chunk_hex(w: DataFrame,
+                          target: int = PACK_TARGET_GROUP_ROWS) -> int:
+    """Pick the md5-prefix chunk width from data: one cheap agg (column-
+    pruned to lang, map-side combined) -> driver scalar, the
+    choose_asof_strategy precedent. The packing LAYOUT is invariant to k —
+    the chunk is a prefix of the md5 sort key, so chunk order == global
+    order for every k — only the task-group bound changes."""
+    biggest = (w.groupBy("lang").count()
+               .agg(F.max("count").alias("m")).first()["m"]) or 0
+    k = 1
+    while biggest > target * (16 ** k) and k < PACK_CHUNK_HEX_MAX:
+        k += 1
+    return k
 
 
 @register(
@@ -1614,20 +1633,24 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic chunks by md5 PREFIX (a prefix of the sort key, so chunk
     order == global md5 order — and unlike repartitionByRange's sampled
     bounds, the chunking is identical in both passes by construction):
-    (1) local cumsum per (lang, chunk) window — group size ~ stratum/256,
-    task-bounded; (2) per-chunk subtotals (langs x 256 rows) get an
-    exclusive running-sum offset via a window over that tiny agg, then
-    broadcast-join back. cum = chunk_offset + local_cum. A 90 %-one-lang
-    corpus no longer funnels through a single task."""
+    (1) local cumsum per (lang, chunk) window — group size bounded by
+    PACK_TARGET_GROUP_ROWS because k is derived from a per-stratum count
+    (choose_pack_chunk_hex, VERDICT_r03 #4); (2) per-chunk subtotals
+    (langs x 16**k rows) get an exclusive running-sum offset via a window
+    over that tiny agg, then broadcast-join back. cum = chunk_offset +
+    local_cum. A 90 %-one-lang corpus no longer funnels through a single
+    task, at ANY corpus size."""
     from pyspark.sql import Window
     docs = _docs(spark, sf_dir)
     h = F.md5(F.col("doc_id").cast("string"))
+    chunk_hex = choose_pack_chunk_hex(
+        docs.select("doc_id", "lang"))  # derived, not hard-coded (r03 #4)
     w = docs.select(
         "doc_id", "lang",
         F.expr(f"size({dialect.tokens_expr('text', 'spark')})")
         .cast("long").alias("n_tokens"),
         h.alias("__h"),
-        F.substring(h, 1, PACK_CHUNK_HEX).alias("__chunk"))
+        F.substring(h, 1, chunk_hex).alias("__chunk"))
     local_win = (Window.partitionBy("lang", "__chunk")
                  .orderBy("__h", "doc_id")
                  .rowsBetween(Window.unboundedPreceding, Window.currentRow))
@@ -2212,7 +2235,13 @@ def q_mention_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id", "item_id", "tok_beg"))
 
 
-_MFU_ENTS = sorted({i.label for i in DICT_ITEMS}) + sorted(NER.GAZETTEER)
+_MFU_DICT_LABELS = {i.label for i in DICT_ITEMS}
+# advisor r03: a dict label colliding with a gazetteer type would silently
+# emit duplicate mentions_count_*/ratio_* columns — fail loudly instead
+assert not (_MFU_DICT_LABELS & set(NER.GAZETTEER)), (
+    "dictionary labels and gazetteer types must be disjoint: "
+    f"{_MFU_DICT_LABELS & set(NER.GAZETTEER)}")
+_MFU_ENTS = sorted(_MFU_DICT_LABELS) + sorted(NER.GAZETTEER)
 _MFU_COLS_DUCK = []
 for _e in _MFU_ENTS:
     _le = _e.lower()

@@ -95,19 +95,42 @@ def test_image_features_null_phash_contained(spark):
     # and a streaming query replays the poisoned micro-batch forever. A
     # NULL phash row must come through with NULL phash/bucket, decode intact.
     imgs = synth.synth_images(spark, 3, partitions=1)
+    victim = imgs.first().image_id
+    # force one batch-mate's phash above 2^53: a float64 round-trip (the
+    # dtype a nullable long column demotes to in pandas) would corrupt it
+    big = (1 << 62) + 1
     nulled = imgs.withColumn(
-        "phash", F.when(F.col("image_id") == imgs.first().image_id,
-                        F.lit(None).cast("long")).otherwise(F.col("phash")))
+        "phash",
+        F.when(F.col("image_id") == victim, F.lit(None).cast("long"))
+         .otherwise(F.lit(big).cast("long")))
     rows = {r.image_id: r for r in
             images.extract_image_features(nulled).collect()}
     assert len(rows) == 3
-    victim = imgs.first().image_id
     assert rows[victim].phash is None
     assert rows[victim].phash_bucket is None
     assert rows[victim].decode_ok is True          # decode unaffected
     others = [r for i, r in rows.items() if i != victim]
-    assert all(r.phash is not None and r.phash_bucket is not None
-               for r in others)
+    # advisor r03 (high): values must be preserved EXACTLY — float64
+    # precision loss turned (1<<62)+1 into (1<<62) before the fix
+    assert all(r.phash == big for r in others)
+    assert all(r.phash_bucket == big % 64 for r in others)
+
+
+def test_image_features_phash_exact_with_synth_values(spark):
+    # end-to-end: real synth phashes (which exceed 2^53) survive the Arrow
+    # stage bit-exactly even when a NULL is present in the same batch
+    imgs = synth.synth_images(spark, 16, partitions=1)
+    orig = {r.image_id: r.phash for r in imgs.collect()}
+    victim = sorted(orig)[0]
+    nulled = imgs.withColumn(
+        "phash", F.when(F.col("image_id") == victim,
+                        F.lit(None).cast("long")).otherwise(F.col("phash")))
+    got = {r.image_id: r.phash for r in
+           images.extract_image_features(nulled).collect()}
+    assert got[victim] is None
+    for iid, ph in orig.items():
+        if iid != victim:
+            assert got[iid] == ph, f"phash corrupted for {iid}"
 
 
 def test_resize_images_table_op(spark):

@@ -228,6 +228,29 @@ def test_sequence_packing_two_pass_equals_single_window(spark, monkeypatch):
     assert got == want
 
 
+def test_pack_chunk_hex_derived_from_stratum_size(spark):
+    # VERDICT_r03 #4: the chunk width must come from a per-stratum count so
+    # the max window group is bounded by PACK_TARGET_GROUP_ROWS at ANY
+    # corpus size — k widens as the dominant stratum grows, and the pass-2
+    # offset-table cap holds.
+    from clj_nlp_parse_spark import queries as Q
+    docs = spark.range(10_000).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+    # 10k-row stratum: target 10_000 → k=1; 600 → 16^k >= 17 → k=2;
+    # 30 → 16^k >= 334 → k=3
+    assert Q.choose_pack_chunk_hex(docs, target=10_000) == 1
+    assert Q.choose_pack_chunk_hex(docs, target=600) == 2
+    assert Q.choose_pack_chunk_hex(docs, target=30) == 3
+    assert Q.choose_pack_chunk_hex(docs, target=1) == 4  # 16^4 >= 10k
+    # cap: an absurd stratum/target ratio never exceeds PACK_CHUNK_HEX_MAX
+    assert Q.choose_pack_chunk_hex(docs, target=0) == Q.PACK_CHUNK_HEX_MAX
+    # empty corpus → k=1, no crash
+    assert Q.choose_pack_chunk_hex(docs.where("doc_id < 0")) == 1
+    # NULL-lang stratum counts like any other stratum
+    nulls = docs.withColumn("lang", F.lit(None).cast("string"))
+    assert Q.choose_pack_chunk_hex(nulls, target=600) == 2
+
+
 def test_corpus_profile_histogram_percentiles_no_per_row_window(spark, sf_dir):
     # VERDICT_r02 #2: percentiles must come from the (lang, n_tokens)
     # histogram — no row_number / full-stratum sort over corpus rows; every
