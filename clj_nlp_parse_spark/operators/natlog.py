@@ -1,0 +1,146 @@
+"""A10 natlog-shaped polarity — the reference's natural-logic annotator
+(component config.clj:179-187, per-token map stanford.clj:434-452
+anon-operator-map/anon-token-map, shape doc/annotation-definitions.md:
+natlog = {operator, polarity} per token) re-expressed as a deterministic
+monotonicity rule table, per the A6/A8/A9 shape-graft precedent.
+
+The graft contract (each rule hand-checkable against the reference shape):
+  - operator lexicon: NEGATION_WORDS are downward-monotone operators;
+    QUANTIFIER_WORDS are (upward) generalized quantifiers. Both emit the
+    reference's operator spec; only negations flip polarity.
+  - scope rule: an operator scopes over the REST OF ITS SENTENCE. A
+    token's polarity is 'down' iff an ODD number of negation tokens occur
+    STRICTLY BEFORE it in the same sentence, else 'up' (nested negations
+    cancel — the monotonicity-composition rule).
+  - operator spec (reference anon-operator-map, all 1-based sentence
+    token ranges [start, end) except the 0-based head):
+      * quantifier_token_range = [i, i+1) — the operator token itself
+      * negation:   subject = [i+1, n+1) (the whole remaining scope),
+                    object  = [n+1, n+1) (empty — negation is unary)
+      * quantifier: subject = [i+1, min(i+2, n+1)) (the restrictor
+                    token), object = [min(i+2, n+1), n+1) (the body)
+      * quantifier_token_head_index = i - 1 (0-based index of the
+        operator token, reference's :quantifier-token-head-index)
+  - non-operator tokens carry polarity only (operator columns NULL) —
+    exactly the reference's anon-token-map, which attaches :operator
+    only when the token heads an operator.
+
+Scale shape: per-row array computation over let-bound sentence arrays —
+one Catalyst projection, zero shuffle, zero Python. The prefix negation
+count is O(len^2) per SENTENCE (bounded by sentence length, like ner.py's
+run-end scan), never by corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark.dialect import _q
+from clj_nlp_parse_spark.operators.features import sentence_words_sql
+from clj_nlp_parse_spark.operators.trees import _spark_let
+
+#: downward-monotone operators: flip polarity over the rest of the sentence
+NEGATION_WORDS = ("neither", "never", "no", "nor", "not", "without")
+#: generalized quantifiers: emit an operator spec, no polarity flip
+QUANTIFIER_WORDS = ("all", "each", "every", "many", "most", "some")
+
+
+def _in(var: str, words: tuple[str, ...]) -> str:
+    return f"{var} IN ({', '.join(_q(w) for w in sorted(words))})"
+
+
+def polarity_sql(ws: str, i: str, d: str = "spark") -> str:
+    """'down' iff an odd number of negation tokens precede 1-based
+    position `i` in the bound word array `ws`, else 'up'."""
+    if d == "spark":
+        cnt = (f"size(filter(slice({ws}, 1, {i} - 1), "
+               f"x -> {_in('x', NEGATION_WORDS)}))")
+    else:
+        cnt = (f"len(list_filter({ws}[1:{i} - 1], "
+               f"x -> {_in('x', NEGATION_WORDS)}))")
+    return f"CASE WHEN {cnt} % 2 = 1 THEN 'down' ELSE 'up' END"
+
+
+def operator_cols_sql(w: str, i: str, n: str) -> dict[str, str]:
+    """The seven operator-spec columns (dialect-common SQL) for token
+    expr `w` at 1-based position `i` in a sentence of `n` tokens. NULL
+    for non-operator tokens."""
+    neg = _in(w, NEGATION_WORDS)
+    quant = _in(w, QUANTIFIER_WORDS)
+    op = f"({neg} OR {quant})"
+    null = "CAST(NULL AS BIGINT)"
+    when = lambda val: f"CASE WHEN {op} THEN CAST({val} AS BIGINT) ELSE {null} END"
+    return {
+        "operator": f"CASE WHEN {op} THEN {w} ELSE CAST(NULL AS STRING) END",
+        "subj_beg": when(f"{i} + 1"),
+        "subj_end": (f"CASE WHEN {neg} THEN CAST({n} + 1 AS BIGINT) "
+                     f"WHEN {quant} THEN CAST(least({i} + 2, {n} + 1) "
+                     f"AS BIGINT) ELSE {null} END"),
+        "obj_beg": (f"CASE WHEN {neg} THEN CAST({n} + 1 AS BIGINT) "
+                    f"WHEN {quant} THEN CAST(least({i} + 2, {n} + 1) "
+                    f"AS BIGINT) ELSE {null} END"),
+        "obj_end": when(f"{n} + 1"),
+        "quant_beg": when(i),
+        "quant_end": when(f"{i} + 1"),
+        "quant_head": when(f"{i} - 1"),
+    }
+
+
+#: flat output column order (after doc_id): the oracle compare sorts by
+#: name, but a stable order keeps the schema readable
+NATLOG_COLS = ("sent_index", "token_index", "word", "polarity", "operator",
+               "subj_beg", "subj_end", "obj_beg", "obj_end",
+               "quant_beg", "quant_end", "quant_head")
+
+
+def natlog_expr(text_col: str) -> str:
+    """Spark expression: text -> per-doc array of per-token natlog structs
+    (sent_index 0-based, token_index 1-based, + NATLOG_COLS), tokens in
+    textual order."""
+    oc = operator_cols_sql("try_element_at(s0.ws, i)", "i", "size(s0.ws)")
+    row = (f"named_struct("
+           f"'sent_index', cast(s0.si - 1 as bigint), "
+           f"'token_index', cast(i as bigint), "
+           f"'word', try_element_at(s0.ws, i), "
+           f"'polarity', {polarity_sql('s0.ws', 'i', 'spark')}, "
+           f"'operator', {oc['operator']}, "
+           + ", ".join(f"'{k}', {oc[k]}" for k in NATLOG_COLS[5:]) + ")")
+    # per-sentence: bind (si, ws) once; sequence(1, 0) descends — guard
+    one = _spark_let(
+        {"si": "si", "ws": "try_element_at(c0.sents, si)"},
+        f"transform(sequence(1, size(s0.ws)), i -> {row})", "s0")
+    seq = ("CASE WHEN size(c0.sents) = 0 THEN array() "
+           "ELSE sequence(1, size(c0.sents)) END")
+    body = f"flatten(transform({seq}, si -> {one}))"
+    return _spark_let({"sents": sentence_words_sql(text_col, "spark")},
+                      body, "c0")
+
+
+def add_natlog(df: DataFrame, text_col: str = "text",
+               out_col: str = "natlog") -> DataFrame:
+    """Attach the per-token natlog array to any frame with a text column
+    — one projection, composes with every other annotator."""
+    return df.withColumn(out_col, F.expr(natlog_expr(text_col)))
+
+
+def duck_natlog_cte(from_tbl: str, text_col: str = "text") -> str:
+    """DuckDB CTE chain (no leading WITH) ending in `nl`: one row per
+    sentence token with doc_id + NATLOG_COLS, same rule tables as the
+    Spark side. sentence_words_sql guarantees non-empty word arrays, so
+    every cs row explodes to >= 1 token."""
+    sents = sentence_words_sql(text_col, "duck")
+    oc = operator_cols_sql("w", "i", "n")
+    cols = ", ".join(f"{oc[k]} AS {k}" for k in NATLOG_COLS[4:])
+    return f"""
+ns0 AS (SELECT doc_id, {sents} AS sents FROM {from_tbl}),
+ns1 AS (SELECT doc_id, unnest(list_transform(range(1, len(sents) + 1),
+          j -> struct_pack(si := j, ws := sents[j]))) AS sx FROM ns0),
+ns2 AS (SELECT doc_id, sx.si AS si, sx.ws AS ws,
+               unnest(range(1, len(sx.ws) + 1)) AS i FROM ns1),
+ns3 AS (SELECT doc_id, si, ws, i, ws[i] AS w, len(ws) AS n FROM ns2),
+nl AS (SELECT doc_id, CAST(si - 1 AS BIGINT) AS sent_index,
+              CAST(i AS BIGINT) AS token_index, w AS word,
+              {polarity_sql('ws', 'i', 'duck')} AS polarity,
+              {cols}
+       FROM ns3)"""

@@ -44,11 +44,14 @@ from clj_nlp_parse_spark.dialect import _q
 #: tokens of the same type, merged by run-folding — the CRF-mention
 #: mechanic, not dictionary phrase lookup.
 GAZETTEER: dict[str, tuple[str, ...]] = {
-    "ORGANIZATION": ("customer", "spark"),
+    # inflected surface forms (customers/scans/tables) type like their
+    # base word — they lemma-normalize onto it, which is what makes the
+    # coref clustering key (A12, coref.py) a genuine text/LEMMA match
+    "ORGANIZATION": ("customer", "customers", "spark"),
     "OPERATION": ("agg", "filter", "group", "join", "merge", "scan",
-                  "sort"),
+                  "scans", "sort"),
     "ARTIFACT": ("batch", "column", "key", "line", "row", "table",
-                 "vector", "window"),
+                 "tables", "vector", "window"),
 }
 
 #: item_id marking model-side mentions in the shared mention struct (real

@@ -2411,3 +2411,151 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", "vec_id", "cosine",
                       F.col("rank").cast("int").alias("rank")) \
               .orderBy("qid", "rank")
+
+
+# ----------------------------------------------- A12 coref / A10 natlog
+from clj_nlp_parse_spark.operators import coref as CRF
+from clj_nlp_parse_spark.operators import natlog as NLG
+
+# The synthetic corpus is punctuation-free word-salad, so the queries
+# derive sentence breaks / operator words in-query with IDENTICAL
+# replace() chains in both dialects — the np_vp_chunks precedent.
+_COREF_TEXT = "replace(text, ' query ', ' . query ')"
+_NATLOG_TEXT = ("replace(replace(replace(text, ' slow ', ' not slow . '), "
+                "' big ', ' every big '), ' dup ', ' no dup ')")
+
+_COREF_DOC_CTE = ("WITH cdoc AS (SELECT doc_id, " + _COREF_TEXT
+                  + " AS text FROM documents),")
+
+
+@register(
+    "coref_chains",
+    _COREF_DOC_CTE + CRF.duck_coref_cte("cdoc") + """
+    SELECT doc_id, CAST(chain_id AS BIGINT) AS chain_id,
+           key AS mention_key, label,
+           CAST(sent_index AS BIGINT) AS sent_index,
+           CAST(tok_beg + 1 AS BIGINT) AS token_beg,
+           CAST(tok_end + 1 AS BIGINT) AS token_end,
+           CAST(tok_end AS BIGINT) AS head_index,
+           CAST(chain_size AS BIGINT) AS chain_size
+    FROM cm ORDER BY doc_id, chain_id, sent_index, token_beg""",
+)
+def q_coref_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 coref chains (reference stanford.clj:407-421 coref-tree-to-map,
+    config.clj:200-204): mentions clustered across sentences by exact
+    lemma match, one row per chain mention in textual order with the
+    reference's sent-index / token-range / head-index shape. Per-doc
+    array computation — one projection, zero shuffle (coref.py)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_COREF_TEXT).alias("text"))
+    out = CRF.add_coref(docs).select(
+        "doc_id", F.explode("coref").alias("c"))
+    return (out.select(
+        "doc_id",
+        F.col("c.chain_id").cast("long").alias("chain_id"),
+        F.col("c.mention_key").alias("mention_key"),
+        F.col("c.label").alias("label"),
+        F.col("c.sent_index").alias("sent_index"),
+        F.col("c.token_beg").alias("token_beg"),
+        F.col("c.token_end").alias("token_end"),
+        F.col("c.head_index").alias("head_index"),
+        F.col("c.chain_size").alias("chain_size"))
+        .orderBy("doc_id", "chain_id", "sent_index", "token_beg"))
+
+
+@register(
+    "coref_features",
+    _COREF_DOC_CTE + CRF.duck_coref_cte("cdoc") + """,
+    cagg AS (SELECT doc_id, COUNT(*) AS n_chains,
+                    SUM(chain_size) AS nm, MAX(chain_size) AS mx
+             FROM cch GROUP BY doc_id)
+    SELECT d.doc_id,
+      CAST(coalesce(n_chains, 0) AS BIGINT) AS n_chains,
+      CAST(coalesce(nm, 0) AS BIGINT) AS n_chain_mentions,
+      CAST(coalesce(mx, 0) AS BIGINT) AS max_chain_size,
+      CASE WHEN coalesce(n_chains, 0) = 0 THEN 0.0
+           ELSE CAST(nm AS DOUBLE) / n_chains END AS mean_chain_size
+    FROM documents d LEFT JOIN cagg USING (doc_id) ORDER BY doc_id""",
+)
+def q_coref_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 feature consumer: per-doc chain count/size stats from the
+    coref column (the chain-count/size features a reference pipeline
+    derives from coref-tree-to-map's output). Zero-default rows for
+    chainless docs; still one projection, zero shuffle."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_COREF_TEXT).alias("text"))
+    withc = CRF.add_coref(docs)
+    n_chains = F.expr("size(array_distinct(transform(coref, "
+                      "c -> c.chain_id)))")
+    nm = F.expr("size(coref)")
+    mx = F.expr("coalesce(array_max(transform(coref, "
+                "c -> c.chain_size)), 0L)")
+    return (withc.select(
+        "doc_id",
+        n_chains.cast("long").alias("n_chains"),
+        nm.cast("long").alias("n_chain_mentions"),
+        mx.cast("long").alias("max_chain_size"),
+        F.when(n_chains == 0, F.lit(0.0))
+         .otherwise(nm.cast("double") / n_chains)
+         .alias("mean_chain_size"))
+        .orderBy("doc_id"))
+
+
+_NATLOG_DOC_CTE = ("WITH ndoc AS (SELECT doc_id, " + _NATLOG_TEXT
+                   + " AS text FROM documents),")
+
+
+@register(
+    "natlog_tokens",
+    _NATLOG_DOC_CTE + NLG.duck_natlog_cte("ndoc") + """
+    SELECT * FROM nl ORDER BY doc_id, sent_index, token_index""",
+)
+def q_natlog_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 natlog (reference stanford.clj:434-452 anon-operator-map /
+    anon-token-map, config.clj:179-187): per-token {operator, polarity}
+    from the deterministic monotonicity rule table — negations flip
+    polarity over the rest of the sentence, operators carry the
+    reference's operator-spec ranges. One projection, zero shuffle
+    (natlog.py)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_NATLOG_TEXT).alias("text"))
+    out = NLG.add_natlog(docs).select(
+        "doc_id", F.explode("natlog").alias("t"))
+    return (out.select(
+        "doc_id", *[F.col(f"t.{c}").alias(c) for c in NLG.NATLOG_COLS])
+        .orderBy("doc_id", "sent_index", "token_index"))
+
+
+@register(
+    "natlog_features",
+    _NATLOG_DOC_CTE + NLG.duck_natlog_cte("ndoc") + """,
+    nagg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+      SUM(CASE WHEN operator IS NOT NULL THEN 1 ELSE 0 END) AS n_ops,
+      SUM(CASE WHEN polarity = 'down' THEN 1 ELSE 0 END) AS n_down
+      FROM nl GROUP BY doc_id)
+    SELECT d.doc_id,
+      CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+      CAST(coalesce(n_ops, 0) AS BIGINT) AS n_operators,
+      CAST(coalesce(n_down, 0) AS BIGINT) AS n_down,
+      CASE WHEN coalesce(n_tokens, 0) = 0 THEN 0.0
+           ELSE CAST(n_down AS DOUBLE) / n_tokens END AS down_ratio
+    FROM documents d LEFT JOIN nagg USING (doc_id) ORDER BY doc_id""",
+)
+def q_natlog_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 feature consumer: per-doc operator/polarity stats from the
+    natlog column. Zero-default rows for empty docs; one projection,
+    zero shuffle."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_NATLOG_TEXT).alias("text"))
+    withn = NLG.add_natlog(docs)
+    n_tok = F.expr("size(natlog)")
+    n_ops = F.expr("size(filter(natlog, t -> t.operator IS NOT NULL))")
+    n_down = F.expr("size(filter(natlog, t -> t.polarity = 'down'))")
+    return (withn.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_ops.cast("long").alias("n_operators"),
+        n_down.cast("long").alias("n_down"),
+        F.when(n_tok == 0, F.lit(0.0))
+         .otherwise(n_down.cast("double") / n_tok).alias("down_ratio"))
+        .orderBy("doc_id"))

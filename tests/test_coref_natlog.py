@@ -1,0 +1,160 @@
+"""A12 coref chains + A10 natlog polarity: goldens hand-derived from the
+reference's documented semantics (stanford.clj:407-421 coref-tree-to-map,
+stanford.clj:434-452 anon-operator-map/anon-token-map,
+doc/annotation-definitions.md) — NOT from the dual-rendered SQL, so the
+oracle gate and these tests fail independently (VERDICT_r03 #7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clj_nlp_parse_spark.operators import coref as CRF
+from clj_nlp_parse_spark.operators import natlog as NLG
+
+
+def _one_doc(spark, text):
+    return spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+
+# --------------------------------------------------------------- A12 coref
+def test_coref_chains_golden(spark):
+    # hand-derivation: gazetteer runs per sentence →
+    #   s0 "customer spark likes scan": [customer spark]=ORGANIZATION
+    #      (toks 1-3 1-based [beg,end)), [scan]=OPERATION (4-5)
+    #   s1 "the customer spark waits": [customer spark] (2-4)
+    #   s2 "scan merge not scan": [scan merge] (1-3), [scan] (4-5)
+    # keys with >=2 mentions: "customer spark" (2), "scan" (2);
+    # "scan merge" is a singleton → dropped (CoreNLP drops singletons).
+    # chain_id = rank in sorted key order: 1="customer spark", 2="scan".
+    doc = _one_doc(spark, "customer spark likes scan . "
+                          "the customer spark waits . "
+                          "scan merge not scan")
+    rows = [tuple(r) for r in
+            CRF.add_coref(doc).select(F.explode("coref").alias("c"))
+            .select("c.chain_id", "c.mention_key", "c.label",
+                    "c.sent_index", "c.token_beg", "c.token_end",
+                    "c.head_index", "c.chain_size")
+            .collect()]
+    want = [  # textual order
+        (1, "customer spark", "ORGANIZATION", 0, 1, 3, 2, 2),
+        (2, "scan", "OPERATION", 0, 4, 5, 4, 2),
+        (1, "customer spark", "ORGANIZATION", 1, 2, 4, 3, 2),
+        (2, "scan", "OPERATION", 2, 4, 5, 4, 2),
+    ]
+    assert rows == want
+
+
+def test_coref_lemma_match_clusters_inflections(spark):
+    # the clustering key is the LEMMA — "scans" and "scan" corefer even
+    # though their surface forms differ (exact text/lemma match rule)
+    doc = _one_doc(spark, "scan waits . scans run")
+    rows = [tuple(r) for r in
+            CRF.add_coref(doc).select(F.explode("coref").alias("c"))
+            .select("c.chain_id", "c.mention_key", "c.sent_index")
+            .collect()]
+    assert rows == [(1, "scan", 0), (1, "scan", 1)]
+
+
+def test_coref_empty_and_no_chain_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "..!!"), (4, "customer only once"),
+         (5, "xyzzy xyzzy")],  # 5: repeated but not a gazetteer mention
+        "doc_id long, text string")
+    out = {r.doc_id: r.coref for r in CRF.add_coref(docs).collect()}
+    assert all(out[i] == [] for i in (1, 2, 3, 4, 5))
+
+
+def test_coref_adjacent_same_type_is_one_mention_not_two(spark):
+    # run-merging: "scan merge" is ONE OPERATION mention; two isolated
+    # "scan merge" occurrences then chain with each other
+    doc = _one_doc(spark, "scan merge waits . scan merge runs")
+    rows = [tuple(r) for r in
+            CRF.add_coref(doc).select(F.explode("coref").alias("c"))
+            .select("c.chain_id", "c.mention_key", "c.token_beg",
+                    "c.token_end", "c.chain_size").collect()]
+    assert rows == [(1, "scan merge", 1, 3, 2), (1, "scan merge", 1, 3, 2)]
+
+
+def test_coref_plan_is_pure_projection(spark):
+    # per-doc clustering → zero shuffle, zero Python
+    doc = _one_doc(spark, "customer . customer")
+    plan = CRF.add_coref(doc)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+# --------------------------------------------------------------- A10 natlog
+def test_natlog_polarity_golden(spark):
+    # s0 "scan not slow never fast": negations at 2 and 4 —
+    #   scan: 0 negs before → up; not: 0 → up; slow: 1 → down;
+    #   never: 1 → down; fast: 2 → up (nested negations cancel)
+    doc = _one_doc(spark, "scan not slow never fast . all big table")
+    rows = {(r.sent_index, r.token_index): r for r in
+            NLG.add_natlog(doc).select(F.explode("natlog").alias("t"))
+            .select("t.*").collect()}
+    pol = {k: v.polarity for k, v in rows.items()}
+    assert pol == {(0, 1): "up", (0, 2): "up", (0, 3): "down",
+                   (0, 4): "down", (0, 5): "up",
+                   (1, 1): "up", (1, 2): "up", (1, 3): "up"}
+
+
+def test_natlog_negation_operator_spec_golden(spark):
+    # "not" at i=2 in a 5-token sentence (reference anon-operator-map):
+    # quantifier range = the operator token [2,3), subject = the whole
+    # remaining scope [3,6), object empty [6,6), head = 1 (0-based)
+    doc = _one_doc(spark, "scan not slow never fast")
+    rows = {r.token_index: r for r in
+            NLG.add_natlog(doc).select(F.explode("natlog").alias("t"))
+            .select("t.*").collect()}
+    nt = rows[2]
+    assert (nt.word, nt.operator) == ("not", "not")
+    assert (nt.quant_beg, nt.quant_end, nt.quant_head) == (2, 3, 1)
+    assert (nt.subj_beg, nt.subj_end) == (3, 6)
+    assert (nt.obj_beg, nt.obj_end) == (6, 6)
+    # non-operator token: polarity only, operator columns NULL
+    sc = rows[1]
+    assert sc.operator is None and sc.subj_beg is None
+    assert sc.quant_head is None and sc.polarity == "up"
+
+
+def test_natlog_quantifier_operator_spec_golden(spark):
+    # "every" at i=1 in "every big table" (n=3): subject = restrictor
+    # token [2,3), object = body [3,4), quant range [1,2), head 0
+    doc = _one_doc(spark, "every big table")
+    rows = {r.token_index: r for r in
+            NLG.add_natlog(doc).select(F.explode("natlog").alias("t"))
+            .select("t.*").collect()}
+    ev = rows[1]
+    assert ev.operator == "every"
+    assert (ev.subj_beg, ev.subj_end) == (2, 3)
+    assert (ev.obj_beg, ev.obj_end) == (3, 4)
+    assert (ev.quant_beg, ev.quant_end, ev.quant_head) == (1, 2, 0)
+    # quantifiers do NOT flip polarity
+    assert rows[2].polarity == "up" and rows[3].polarity == "up"
+
+
+def test_natlog_quantifier_at_sentence_end_ranges_clamp(spark):
+    # trailing quantifier: restrictor/body clamp to the sentence end —
+    # subject [n+1, n+1) and object [n+1, n+1) are both empty, not OOB
+    doc = _one_doc(spark, "table all")
+    rows = {r.token_index: r for r in
+            NLG.add_natlog(doc).select(F.explode("natlog").alias("t"))
+            .select("t.*").collect()}
+    al = rows[2]
+    assert (al.subj_beg, al.subj_end) == (3, 3)
+    assert (al.obj_beg, al.obj_end) == (3, 3)
+
+
+def test_natlog_empty_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "?!")], "doc_id long, text string")
+    out = {r.doc_id: r.natlog for r in NLG.add_natlog(docs).collect()}
+    assert all(out[i] == [] for i in (1, 2, 3))
+
+
+def test_natlog_plan_is_pure_projection(spark):
+    doc = _one_doc(spark, "not scan")
+    plan = (NLG.add_natlog(doc)._jdf.queryExecution().executedPlan()
+            .toString())
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
