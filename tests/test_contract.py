@@ -19,8 +19,10 @@ def test_registry_consistency():
     import inspect
     for name, fn in Q.QUERIES.items():
         assert len(inspect.signature(fn).parameters) == 2, name
-    # oracle SQL strings are non-trivial and reference a known table
-    tables = ("documents", "events", "embeddings", "lineitem", "orders")
+    # oracle SQL strings are non-trivial and reference a known table (or
+    # the committed image-stats golden fixture, the flagship's oracle side)
+    tables = ("documents", "events", "embeddings", "lineitem", "orders",
+              "fixtures/image_stats")
     for name, sql in Q.ORACLES.items():
         assert len(sql) > 40, name
         assert any(t in sql for t in tables), name
