@@ -2267,16 +2267,24 @@ def q_mention_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     concat'd per row, the array form of unionByName, zero shuffle. Every
     source tagged with the let-binding idiom (HOF free-var re-eval
     guard)."""
-    tagged = D.tag_mentions(_docs(spark, sf_dir), DICT_ITEMS)
-    body2 = D.mentions_sql(_COMPILED2, "z.ws", "z.ls", "spark")
-    let2 = (f"try_element_at(transform("
-            f"array(named_struct('ws', words, 'ls', lemmas)), "
-            f"z -> {body2}), 1)")
-    model = NER.model_mentions_expr("words")
-    unioned = tagged.withColumn(
-        "all_mentions",
-        F.expr(f"concat(tok_re_mentions, {let2}, {model})"))
-    return (unioned.select("doc_id", F.explode("all_mentions").alias("x"))
+    # VERDICT_r03 #6: ONE fused projection — tokenize once, derive
+    # lemmas/entity-types once from the bound words, and emit all three
+    # mention sources inside a single two-level let (outer binds ws so
+    # the inner bindings read it as a variable, not re-evaluate it).
+    from clj_nlp_parse_spark.operators.trees import _spark_let
+    docs = _docs(spark, sf_dir)
+    lemma_case = dialect.lemma_case_expr("t", "spark")
+    body = (f"concat({D.mentions_sql(_COMPILED, 'z.ws', 'z.ls', 'spark')}, "
+            f"{D.mentions_sql(_COMPILED2, 'z.ws', 'z.ls', 'spark')}, "
+            f"{NER.ner_mentions_sql('z.ty', 'spark')})")
+    inner = _spark_let(
+        {"ws": "w0.ws",
+         "ls": f"transform(w0.ws, t -> ({lemma_case}))",
+         "ty": NER.token_types_sql("w0.ws", "spark")},
+        body, "z")
+    fused = _spark_let({"ws": dialect.tokens_expr("text", "spark")},
+                       inner, "w0")
+    return (docs.select("doc_id", F.explode(F.expr(fused)).alias("x"))
             .select("doc_id", F.col("x.label").alias("label"),
                     F.col("x.item_id").alias("item_id"),
                     F.col("x.tok_beg").cast("long").alias("tok_beg"),

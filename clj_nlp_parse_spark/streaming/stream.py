@@ -182,8 +182,7 @@ def streaming_asof_buffered(stream: DataFrame,
 
     Output: one row per event — (entity, event_ts, feature_ts, value).
     """
-    import bisect
-
+    import numpy as np
     import pandas as pd
 
     out_schema = (f"{entity} string, event_ts timestamp, "
@@ -191,54 +190,69 @@ def streaming_asof_buffered(stream: DataFrame,
     state_schema = ("pend array<long>, fts array<long>, fvs array<double>")
 
     def buffered(key, pdfs, state):
+        # VERDICT_r03 #5: fully vectorized — batch ingestion by boolean
+        # mask, the as-of match as ONE searchsorted over the sorted
+        # feature-timestamp array (no per-row itertuples/bisect loop).
         wm_ms = state.getCurrentWatermarkMs()
         wm_ns = wm_ms * 1_000_000
         if state.exists:
-            pend, fts, fvs = state.get
-            pend, fts, fvs = list(pend), list(fts), list(fvs)
+            pend0, fts0, fvs0 = state.get
+            pend = np.asarray(pend0, dtype=np.int64)
+            fts = np.asarray(fts0, dtype=np.int64)
+            fvs = np.asarray(fvs0, dtype=np.float64)
         else:
-            pend, fts, fvs = [], [], []
+            pend = np.empty(0, np.int64)
+            fts = np.empty(0, np.int64)
+            fvs = np.empty(0, np.float64)
         if not state.hasTimedOut:
             frames = [f for f in pdfs]
             pdf = pd.concat(frames, ignore_index=True) if frames else None
             if pdf is not None and len(pdf):
-                for r in pdf.itertuples(index=False):
-                    t_ns = int(getattr(r, ts).value)
-                    if getattr(r, side) == "feature":
-                        fts.append(t_ns)
-                        fvs.append(float(getattr(r, value)))
-                    else:
-                        pend.append(t_ns)
+                t_ns = (pdf[ts].to_numpy("datetime64[ns]")
+                        .astype(np.int64))
+                is_feat = (pdf[side] == "feature").to_numpy()
+                fts = np.concatenate([fts, t_ns[is_feat]])
+                fvs = np.concatenate(
+                    [fvs, pdf.loc[is_feat, value].to_numpy(np.float64)])
+                pend = np.concatenate([pend, t_ns[~is_feat]])
         else:
             # timeout invocation: consume the iterator contract (empty)
             for _ in pdfs:
                 pass
-        order = sorted(range(len(fts)), key=lambda i: fts[i])
-        fts = [fts[i] for i in order]
-        fvs = [fvs[i] for i in order]
-        pend.sort()
-        emit = [t for t in pend if t <= wm_ns]
-        pend = [t for t in pend if t > wm_ns]
-        rows = {entity: [], "event_ts": [], "feature_ts": [], value: []}
-        for t in emit:
-            j = bisect.bisect_right(fts, t) - 1  # latest fts <= t (inclusive)
-            rows[entity].append(key[0])
-            rows["event_ts"].append(pd.Timestamp(t))
-            rows["feature_ts"].append(pd.Timestamp(fts[j])
-                                      if j >= 0 else pd.NaT)
-            rows[value].append(fvs[j] if j >= 0 else None)
+        order = np.argsort(fts, kind="stable")  # stable: equal-ts features
+        fts = fts[order]                        # keep arrival order, so
+        fvs = fvs[order]                        # searchsorted 'right' - 1
+        pend = np.sort(pend, kind="stable")     # picks the LAST arrival
+        emit_mask = pend <= wm_ns
+        emit, pend = pend[emit_mask], pend[~emit_mask]
+        j = np.searchsorted(fts, emit, side="right") - 1
+        have = j >= 0
+        jc = np.maximum(j, 0)
+        if fts.size:
+            f_match = fts[jc]
+            v_match = fvs[jc]
+        else:
+            f_match = np.zeros(emit.size, np.int64)
+            v_match = np.zeros(emit.size, np.float64)
+        out = pd.DataFrame({
+            entity: np.repeat(np.asarray(key[0], dtype=object), emit.size),
+            "event_ts": emit.astype("datetime64[ns]"),
+            "feature_ts": pd.Series(f_match.astype("datetime64[ns]"))
+                            .mask(~have),       # NaT → NULL where no match
+            value: pd.Series(v_match).mask(~have),
+        })
         # prune features: keep everything a still-unseen or pending event
         # could need — all features above the cutoff plus the latest at or
         # below it (cutoff = watermark ∧ oldest pending event)
-        cutoff = min([wm_ns] + pend)
-        j = bisect.bisect_right(fts, cutoff) - 1
-        keep_from = max(j, 0)
+        cutoff = min(wm_ns, int(pend[0])) if pend.size else wm_ns
+        keep_from = max(int(np.searchsorted(fts, cutoff, side="right")) - 1,
+                        0)
         fts, fvs = fts[keep_from:], fvs[keep_from:]
-        state.update((pend, fts, fvs))
-        if pend:
+        state.update((pend.tolist(), fts.tolist(), fvs.tolist()))
+        if pend.size:
             # flush as soon as the watermark moves again
             state.setTimeoutTimestamp(max(wm_ms + 1, 1))
-        yield pd.DataFrame(rows)
+        yield out
 
     from pyspark.sql.streaming.state import GroupStateTimeout
     return (stream
