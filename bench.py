@@ -39,6 +39,9 @@ HEADLINE = [
     "stratified_sample", "pii_scrub", "repetition_stats",
     "corpus_profile", "sequence_packing", "np_vp_chunks",
     "parse_tree_edges", "dep_tree_edges",
+    "coref_chains", "coref_features", "natlog_tokens", "natlog_features",
+    # image_feature_materialization is timed by the dedicated flagship
+    # section below (input persisted untimed + warm-up), not this loop
 ]
 
 

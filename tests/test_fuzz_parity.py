@@ -79,7 +79,10 @@ def test_doc_query_fragments_on_degenerate_docs(spark, monkeypatch):
                  # histogram percentiles, chunked packing cumsum
                  "parse_tree_edges", "dep_tree_edges", "model_mentions",
                  "mention_features_union", "corpus_profile",
-                 "sequence_packing", "curation_pipeline"]:
+                 "sequence_packing", "curation_pipeline",
+                 # round-4 surfaces: coref chains, natlog polarity
+                 "coref_chains", "coref_features",
+                 "natlog_tokens", "natlog_features"]:
         got = Q.QUERIES[name](spark, "ignored").toPandas()
         want = con.sql(Q.ORACLES[name]).df()
         got = got[sorted(got.columns)].reset_index(drop=True)
