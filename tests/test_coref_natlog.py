@@ -158,3 +158,130 @@ def test_natlog_plan_is_pure_projection(spark):
             .toString())
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+# ------------------------------------------------------------ Python twins
+# Independent reimplementations (the trees.py "Python twin" pattern):
+# third comparator alongside the Spark and DuckDB renderings, so parity
+# does not rest solely on dialect-paired SQL generated from one builder.
+import re as _re
+
+from clj_nlp_parse_spark import dialect as _dialect
+from clj_nlp_parse_spark.operators import ner as _ner
+
+
+def _sents_py(text):
+    sents = [_re.findall(r"[a-z0-9']+", s.lower())
+             for s in _re.split(r"[.!?]+", text or "")]
+    return [ws for ws in sents if ws]
+
+
+def coref_py(text):
+    """(chain_id, key, label, sent_index, token_beg, token_end,
+    head_index, chain_size) rows in textual order — plain Python."""
+    from collections import Counter
+    w2t = {w: t for t, ws in _ner.GAZETTEER.items() for w in ws}
+    mentions = []
+    for si, ws in enumerate(_sents_py(text)):
+        types = [w2t.get(w) for w in ws]
+        i = 0
+        while i < len(types):
+            if types[i] is None:
+                i += 1
+                continue
+            j = i
+            while j < len(types) and types[j] == types[i]:
+                j += 1
+            key = " ".join(_dialect.lemma_py(w) for w in ws[i:j])
+            mentions.append((si, types[i], i, j, key))
+            i = j
+    cnt = Counter(m[4] for m in mentions)
+    keys = sorted(k for k, c in cnt.items() if c >= 2)
+    return [(keys.index(k) + 1, k, lab, si, beg + 1, end + 1, end, cnt[k])
+            for (si, lab, beg, end, k) in mentions if k in keys]
+
+
+def natlog_py(text):
+    """(sent_index, token_index, word, polarity, operator, subj_beg,
+    subj_end, obj_beg, obj_end, quant_beg, quant_end, quant_head) rows."""
+    from clj_nlp_parse_spark.operators import natlog as NL
+    rows = []
+    for si, ws in enumerate(_sents_py(text)):
+        n = len(ws)
+        negs = 0
+        for i, w in enumerate(ws, start=1):
+            pol = "down" if negs % 2 == 1 else "up"
+            is_neg = w in NL.NEGATION_WORDS
+            is_q = w in NL.QUANTIFIER_WORDS
+            if is_neg or is_q:
+                subj_end = n + 1 if is_neg else min(i + 2, n + 1)
+                obj_beg = n + 1 if is_neg else min(i + 2, n + 1)
+                rows.append((si, i, w, pol, w, i + 1, subj_end, obj_beg,
+                             n + 1, i, i + 1, i - 1))
+            else:
+                rows.append((si, i, w, pol, None, None, None, None, None,
+                             None, None, None))
+            if is_neg:
+                negs += 1
+    return rows
+
+
+_VOCAB = (
+    [w for ws in _ner.GAZETTEER.values() for w in ws]
+    + ["not", "no", "never", "without", "all", "every", "some",
+       "the", "a", "fast", "slow", "runs", "waits", "xyzzy", "o'clock",
+       "z" * 40, "42", ""]
+)
+
+
+def _twin_compare(spark, texts):
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got_c = sorted(
+        (r.doc_id,) + tuple(r.c) for r in
+        CRF.add_coref(df).select("doc_id", F.explode("coref").alias("c"))
+        .collect())
+    want_c = sorted((i,) + row for i, t in enumerate(texts)
+                    for row in coref_py(t))
+    assert got_c == want_c
+    got_n = sorted(
+        (r.doc_id,) + tuple(r.t) for r in
+        NLG.add_natlog(df).select("doc_id", F.explode("natlog").alias("t"))
+        .collect())
+    want_n = sorted((i,) + row for i, t in enumerate(texts)
+                    for row in natlog_py(t))
+    assert got_n == want_n
+
+
+def test_coref_natlog_python_twin_seeded(spark):
+    # seeded word-salad sweep: 40 docs mixing gazetteer runs, operators,
+    # punctuation bursts, inflections, apostrophes, huge tokens
+    import random
+    rnd = random.Random(404)
+    texts = []
+    for _ in range(40):
+        toks = [rnd.choice(_VOCAB) for _ in range(rnd.randint(0, 40))]
+        # sprinkle sentence breaks
+        out = []
+        for t in toks:
+            out.append(t)
+            if rnd.random() < 0.15:
+                out.append(rnd.choice([".", "!", "?", "...", "?!"]))
+        texts.append(" ".join(out))
+    texts += ["", "?!", None and "" or "..", "customer customer customer"]
+    _twin_compare(spark, texts)
+
+
+def test_coref_natlog_python_twin_hypothesis(spark):
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(
+        st.lists(st.sampled_from(_VOCAB + [".", "!", "?"]), max_size=25)
+        .map(" ".join),
+        min_size=1, max_size=6))
+    def check(texts):
+        _twin_compare(spark, texts)
+
+    check()

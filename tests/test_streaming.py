@@ -552,3 +552,44 @@ def test_streaming_asof_buffered_timeout_flush_via_other_key(spark, tmp_path):
            for r in spark.read.parquet(sink).collect()}
     assert got[("a", _t("2025-01-01T10:00:00"))] == \
         (_t("2025-01-01T09:00:00"), 1.0)
+
+
+def test_streaming_coref_natlog_match_batch(spark, tmp_path):
+    # the A12/A10 annotators are pure Catalyst projections, so they run on
+    # a stream UNCHANGED — availableNow over a file source must reproduce
+    # the batch chains/polarity exactly (the composability contract every
+    # zero-shuffle annotator in this engine keeps)
+    from clj_nlp_parse_spark.operators import coref as CRF
+    from clj_nlp_parse_spark.operators import natlog as NLG
+    docs = spark.createDataFrame(
+        [(1, "customer spark waits . customer spark runs"),
+         (2, "scan not slow never fast . all big table"),
+         (3, ""), (4, None), (5, "?!...")],
+        "doc_id long, text string")
+    p = str(tmp_path / "cn_docs")
+    docs.coalesce(1).write.mode("overwrite").parquet(p)
+    sdf = spark.readStream.schema(docs.schema).parquet(p)
+
+    sink_c = str(tmp_path / "cn_coref")
+    ST.run_available_now_to_parquet(
+        CRF.add_coref(sdf).select(
+            "doc_id", F.explode("coref").alias("c")).select("doc_id", "c.*"),
+        sink_c, str(tmp_path / "cn_coref_ckpt"))
+    got_c = sorted(tuple(r) for r in spark.read.parquet(sink_c).collect())
+    want_c = sorted(tuple(r) for r in
+                    CRF.add_coref(docs).select(
+                        "doc_id", F.explode("coref").alias("c"))
+                    .select("doc_id", "c.*").collect())
+    assert got_c == want_c and len(got_c) == 2  # doc 1's chain
+
+    sink_n = str(tmp_path / "cn_natlog")
+    ST.run_available_now_to_parquet(
+        NLG.add_natlog(sdf).select(
+            "doc_id", F.explode("natlog").alias("t")).select("doc_id", "t.*"),
+        sink_n, str(tmp_path / "cn_natlog_ckpt"))
+    got_n = sorted(tuple(r) for r in spark.read.parquet(sink_n).collect())
+    want_n = sorted(tuple(r) for r in
+                    NLG.add_natlog(docs).select(
+                        "doc_id", F.explode("natlog").alias("t"))
+                    .select("doc_id", "t.*").collect())
+    assert got_n == want_n and len(got_n) == 14  # 6 + 8 tokens
