@@ -40,6 +40,7 @@ HEADLINE = [
     "corpus_profile", "sequence_packing", "np_vp_chunks",
     "parse_tree_edges", "dep_tree_edges",
     "coref_chains", "coref_features", "natlog_tokens", "natlog_features",
+    "srl_tokens",
     # image_feature_materialization is timed by the dedicated flagship
     # section below (input persisted untimed + warm-up), not this loop
 ]

@@ -96,3 +96,77 @@ def verb_features(df: DataFrame, id_col: str = "doc_id",
     return (ann.withColumn("elected_verb", elected)
             .select(F.col(id_col), "elected_verb",
                     F.expr(h).alias("elected_verb_id")))
+
+
+# ------------------------------------------------- A13 srl struct shape
+# The reference's per-token srl map (srl.clj:143-162 mapify-parsed-
+# sentences): {id, propbank, head-id, dependency-label,
+# heads [{function-tag, dependency-label}]}. The ClearNLP MODEL stays out
+# of scope (SURVEY §2.3); this is the A6/A8/A9-style shape graft — the
+# struct is derived deterministically from the engine's dependency tree
+# (trees.py dep edges), so every field is real, traversable, and
+# oracle-checkable:
+#   id               = 1-based token index (ClearNLP DEPNode.id)
+#   head_id          = dep-edge head (0 for the root token, like the
+#                      reference's artificial root node)
+#   dependency_label = dep-edge label ('root' / 'mod' / 'dep')
+#   propbank         = lemma + '.01' for verb-typed tokens else NULL
+#                      (the reference's propbank sense strings, e.g.
+#                      want.01 — sense 01 is the deterministic choice)
+#   heads            = [] for the root, else one semantic-head arc whose
+#                      function tag comes from a fixed label→tag table
+#                      ('mod' → PPT [patient], 'dep' → ADV — ClearNLP's
+#                      most common tags for those attachments)
+
+def function_tag_sql(label: str) -> str:
+    """Dialect-common CASE: dependency label → ClearNLP-style function
+    tag; NULL for the root (it has no head arc)."""
+    return (f"CASE {label} WHEN 'mod' THEN 'PPT' WHEN 'dep' THEN 'ADV' "
+            f"ELSE CAST(NULL AS STRING) END")
+
+
+def propbank_sql(ws: str, tg: str, i: str, d: str = "spark") -> str:
+    """Dialect-common propbank sense string for token `i` (1-based) of
+    bound word/tag arrays: lemma.01 for verb-typed tokens, else NULL."""
+    at_w = f"try_element_at({ws}, {i})" if d == "spark" else f"{ws}[{i}]"
+    at_t = f"try_element_at({tg}, {i})" if d == "spark" else f"{tg}[{i}]"
+    tags = ", ".join(f"'{t}'" for t in schema.VERB_TAGS)
+    lem = dialect.lemma_case_expr(at_w, d)
+    return (f"CASE WHEN {at_t} IN ({tags}) THEN concat({lem}, '.01') "
+            f"ELSE CAST(NULL AS STRING) END")
+
+
+def srl_expr(words: str) -> str:
+    """Spark expression: bound word-array name -> per-doc srl array in id
+    order — array<struct<id, propbank, head_id, dependency_label,
+    heads array<struct<dependency_label, function_tag>>>> (the reference
+    srl.clj:143-162 record shape). One projection, zero shuffle."""
+    from clj_nlp_parse_spark.operators import trees as TR
+    tags = (f"transform(y.ws, t -> "
+            f"({dialect.pos_case_expr('t', 'spark')}))")
+    ed_sorted = ("array_sort(y.ed, (a, b) -> "
+                 "CASE WHEN a.dependent < b.dependent THEN -1 "
+                 "WHEN a.dependent > b.dependent THEN 1 ELSE 0 END)")
+    row = (f"named_struct("
+           f"'id', cast(e.dependent as bigint), "
+           f"'propbank', {propbank_sql('z.ws', 'z.tg', 'e.dependent')}, "
+           f"'head_id', cast(e.head as bigint), "
+           f"'dependency_label', e.label, "
+           f"'heads', CASE WHEN e.label = 'root' THEN "
+           f"cast(array() as array<struct<dependency_label:string, "
+           f"function_tag:string>>) ELSE array(named_struct("
+           f"'dependency_label', e.label, "
+           f"'function_tag', {function_tag_sql('e.label')})) END)")
+    body = f"transform(z.ed, e -> {row})"
+    inner = TR._spark_let(
+        {"ws": "y.ws", "tg": tags, "ed": ed_sorted}, body, "z")
+    return TR._spark_let(
+        {"ws": words, "ed": TR.tree_expr(words, "dep")}, inner, "y")
+
+
+def add_srl(df: DataFrame, text_col: str = "text",
+            out_col: str = "srl") -> DataFrame:
+    """Attach the per-token srl struct array to any frame with a text
+    column — composes with every other annotator, zero shuffle."""
+    words = dialect.tokens_expr(text_col, "spark")
+    return df.withColumn(out_col, F.expr(srl_expr(words)))

@@ -2616,3 +2616,58 @@ def q_natlog_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n_tok == 0, F.lit(0.0))
          .otherwise(n_down.cast("double") / n_tok).alias("down_ratio"))
         .orderBy("doc_id"))
+
+
+# ------------------------------------------------- A13 srl struct (flat)
+from clj_nlp_parse_spark.operators import srl as SRL
+from clj_nlp_parse_spark.operators import trees as TR2
+
+
+@register(
+    "srl_tokens",
+    "WITH chunk_src AS (SELECT doc_id, " + _CHUNK_TEXT
+    + """ AS text FROM documents),
+    w AS (SELECT doc_id, text, """ + dialect.tokens_expr("text", "duck")
+    + """ AS words FROM chunk_src),
+    tk AS (SELECT doc_id, text, words, """
+    + tx.annotated_tokens_sql("words", "duck") + """ AS toks FROM w),
+    """ + TR2.duck_tree_cte("tk") + f""",
+    tr5 AS (SELECT *, {TR2.root_index_sql('tg', 'duck')} AS rt FROM tr4),
+    ed AS (SELECT doc_id, words, tg,
+             unnest({TR2.dep_edges_sql('words', 'tg', 'ch', 'duck')}) AS e
+           FROM tr5)
+    SELECT doc_id, CAST(e.dependent AS BIGINT) AS id,
+           words[e.dependent] AS word,
+           CAST(e.head AS BIGINT) AS head_id,
+           e.label AS dependency_label,
+           {SRL.function_tag_sql('e.label')} AS function_tag,
+           {SRL.propbank_sql('words', 'tg', 'e.dependent', 'duck')}
+             AS propbank
+    FROM ed ORDER BY doc_id, id""",
+)
+def q_srl_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 srl struct shape, flattened (reference srl.clj:143-162
+    mapify-parsed-sentences): one row per token with id / head-id /
+    dependency-label / function-tag / propbank, derived deterministically
+    from the engine's dependency tree (the ClearNLP model stays out of
+    scope — SURVEY §2.3). Same in-query verb derivation as np_vp_chunks
+    (_CHUNK_TEXT) so VP heads and propbank senses are exercised. Pure
+    per-row array computation, zero shuffle."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_CHUNK_TEXT).alias("text"))
+    d = (docs
+         .withColumn("ws", F.expr(dialect.tokens_expr("text", "spark")))
+         .withColumn("tg", F.expr(
+             f"transform(ws, t -> ({dialect.pos_case_expr('t', 'spark')}))"))
+         .select("doc_id", "ws", "tg",
+                 F.explode(F.expr(TR2.tree_expr("ws", "dep"))).alias("e")))
+    return (d.select(
+        "doc_id",
+        F.col("e.dependent").cast("long").alias("id"),
+        F.expr("try_element_at(ws, e.dependent)").alias("word"),
+        F.col("e.head").cast("long").alias("head_id"),
+        F.col("e.label").alias("dependency_label"),
+        F.expr(SRL.function_tag_sql("e.label")).alias("function_tag"),
+        F.expr(SRL.propbank_sql("ws", "tg", "e.dependent", "spark"))
+        .alias("propbank"))
+        .orderBy("doc_id", "id"))

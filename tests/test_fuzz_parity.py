@@ -82,7 +82,7 @@ def test_doc_query_fragments_on_degenerate_docs(spark, monkeypatch):
                  "sequence_packing", "curation_pipeline",
                  # round-4 surfaces: coref chains, natlog polarity
                  "coref_chains", "coref_features",
-                 "natlog_tokens", "natlog_features"]:
+                 "natlog_tokens", "natlog_features", "srl_tokens"]:
         got = Q.QUERIES[name](spark, "ignored").toPandas()
         want = con.sql(Q.ORACLES[name]).df()
         got = got[sorted(got.columns)].reset_index(drop=True)
