@@ -229,20 +229,30 @@ def dep_edges_sql(ws: str, tg: str, ch: str, d: str = "spark") -> str:
                   f"END")
         # per-token chunk-head index, computed ONCE into a bound array
         # (PERF: inlining the chunk lookup into every edge field re-ran the
-        # filter ~6x per token — measured 78 s vs ~4 s at sf0.1)
-        cof = (f"try_element_at(filter({ch}, "
-               f"c -> c.beg <= i - 1 AND i - 1 < c.fin), 1)")
-        hd_of_q = (f"try_element_at(filter(sequence(q.c.beg + 1, "
-                   f"q.c.fin), j -> "
-                   f"((q.c.label = 'NP' AND "
-                   f"{_in(f'try_element_at({tg}, j)', NP_HEAD_TAGS)}) OR "
-                   f"(q.c.label = 'VP' AND "
-                   f"{_in(f'try_element_at({tg}, j)', VP_HEAD_TAGS)}))), -1)")
-        hd = (f"try_element_at(transform(array(named_struct('c', {cof})), "
-              f"q -> CASE WHEN q.c IS NULL THEN cast(null as int) "
-              f"ELSE {hd_of_q} END), 1)")
-        hds = (f"CASE WHEN size({ws}) = 0 THEN array() ELSE "
-               f"transform(sequence(1, size({ws})), i -> {hd}) END")
+        # filter ~6x per token — measured 78 s vs ~4 s at sf0.1).
+        # r4: the head is now elected ONCE PER CHUNK (chh, aligned with the
+        # chunk array) instead of rescanning the chunk span per member
+        # token — O(#chunks*span + n*#chunks) instead of O(n*span), which
+        # matters on word-salad docs where one NP run spans the whole doc
+        # (measured 2.7x on dep_tree_edges at sf0.1: 8.0 s → 3.0 s warm)
+        chh = (f"transform({ch}, c -> try_element_at(filter("
+               f"sequence(c.beg + 1, c.fin), j -> "
+               f"((c.label = 'NP' AND "
+               f"{_in(f'try_element_at({tg}, j)', NP_HEAD_TAGS)}) OR "
+               f"(c.label = 'VP' AND "
+               f"{_in(f'try_element_at({tg}, j)', VP_HEAD_TAGS)}))), -1))")
+        # sequence(1, 0) DESCENDS through index 0 → guard the no-chunk doc
+        ci = (f"CASE WHEN size(h.ch) = 0 THEN cast(null as int) ELSE "
+              f"try_element_at(filter(sequence(1, size(h.ch)), cj -> "
+              f"try_element_at(h.ch, cj).beg <= i - 1 AND "
+              f"i - 1 < try_element_at(h.ch, cj).fin), 1) END")
+        hd = (f"try_element_at(transform(array(named_struct('ci', {ci})), "
+              f"q -> CASE WHEN q.ci IS NULL THEN cast(null as int) "
+              f"ELSE try_element_at(h.chh, q.ci) END), 1)")
+        hds_body = (f"CASE WHEN size({ws}) = 0 THEN array() ELSE "
+                    f"transform(sequence(1, size({ws})), i -> {hd}) END")
+        hds = (f"try_element_at(transform(array(named_struct("
+               f"'ch', {ch}, 'chh', {chh})), h -> {hds_body}), 1)")
         at_hd = "try_element_at(z.hds, i)"
         dep = (f"named_struct("
                f"'head', CASE WHEN {at_hd} IS NOT NULL "

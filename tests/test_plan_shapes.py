@@ -327,3 +327,34 @@ def test_decontaminate_broadcast_semi_probe(spark, sf_dir):
     # no sort-merge join of training shingles
     assert "SortMergeJoin" not in plan.split("LeftSemi")[0]
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_all_annotators_compose_in_one_scan_zero_shuffle(spark, sf_dir):
+    # The reference's full annotation tree carries tokens, mentions, model
+    # mentions, coref, natlog, and srl on ONE utterance record. The
+    # engine's equivalent: every annotator is a pure projection, so
+    # chaining all of them onto one frame must compile to a single
+    # parquet scan with zero exchanges and zero Python — the plan a
+    # 100 TB pipeline needs (annotate everything in the map phase, pay
+    # the scan once).
+    from clj_nlp_parse_spark import queries as Q
+    from clj_nlp_parse_spark.operators import coref as CRF
+    from clj_nlp_parse_spark.operators import natlog as NLG
+    from clj_nlp_parse_spark.operators import ner as NER
+    from clj_nlp_parse_spark.operators import srl as S
+    from clj_nlp_parse_spark.operators import dictionary as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = S.add_srl(
+        NLG.add_natlog(
+            CRF.add_coref(
+                NER.add_model_mentions(
+                    D.tag_mentions(docs, Q.DICT_ITEMS)))))
+    plan = _plan(full)
+    assert len(re.findall(r"FileScan|BatchScan", plan)) == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    # and it actually runs: every annotation column materializes
+    row = full.select("doc_id", "tok_re_mentions", "model_mentions",
+                      "coref", "natlog", "srl").first()
+    assert row.natlog is not None and row.srl is not None
