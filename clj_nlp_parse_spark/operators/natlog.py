@@ -26,9 +26,9 @@ The graft contract (each rule hand-checkable against the reference shape):
     only when the token heads an operator.
 
 Scale shape: per-row array computation over let-bound sentence arrays —
-one Catalyst projection, zero shuffle, zero Python. The prefix negation
-count is O(len^2) per SENTENCE (bounded by sentence length, like ner.py's
-run-end scan), never by corpus size.
+one Catalyst projection, zero shuffle, zero Python. The polarity count
+scans a once-per-sentence bound negation-position array — O(n * #negs)
+per sentence, never corpus-dependent.
 """
 
 from __future__ import annotations
@@ -50,15 +50,25 @@ def _in(var: str, words: tuple[str, ...]) -> str:
     return f"{var} IN ({', '.join(_q(w) for w in sorted(words))})"
 
 
-def polarity_sql(ws: str, i: str, d: str = "spark") -> str:
-    """'down' iff an odd number of negation tokens precede 1-based
-    position `i` in the bound word array `ws`, else 'up'."""
+def neg_positions_sql(ws: str, d: str = "spark") -> str:
+    """1-based positions of negation tokens in the bound word array `ws`
+    — computed ONCE per sentence so the per-token polarity scan is over
+    the (short) operator list, not a re-sliced prefix of the sentence:
+    O(n * #negations) instead of O(n^2)."""
     if d == "spark":
-        cnt = (f"size(filter(slice({ws}, 1, {i} - 1), "
-               f"x -> {_in('x', NEGATION_WORDS)}))")
-    else:
-        cnt = (f"len(list_filter({ws}[1:{i} - 1], "
-               f"x -> {_in('x', NEGATION_WORDS)}))")
+        return (f"CASE WHEN size({ws}) = 0 THEN array() ELSE "
+                f"filter(sequence(1, size({ws})), j -> "
+                f"{_in(f'try_element_at({ws}, j)', NEGATION_WORDS)}) END")
+    return (f"list_filter(range(1, len({ws}) + 1), j -> "
+            f"{_in(f'{ws}[j]', NEGATION_WORDS)})")
+
+
+def polarity_sql(np_: str, i: str, d: str = "spark") -> str:
+    """'down' iff an odd number of negation positions (bound array `np_`,
+    from neg_positions_sql) lie STRICTLY BEFORE 1-based position `i`."""
+    ln = "size" if d == "spark" else "len"
+    flt = "filter" if d == "spark" else "list_filter"
+    cnt = f"{ln}({flt}({np_}, p -> p < {i}))"
     return f"CASE WHEN {cnt} % 2 = 1 THEN 'down' ELSE 'up' END"
 
 
@@ -103,12 +113,14 @@ def natlog_expr(text_col: str) -> str:
            f"'sent_index', cast(s0.si - 1 as bigint), "
            f"'token_index', cast(i as bigint), "
            f"'word', try_element_at(s0.ws, i), "
-           f"'polarity', {polarity_sql('s0.ws', 'i', 'spark')}, "
+           f"'polarity', {polarity_sql('s0.np', 'i', 'spark')}, "
            f"'operator', {oc['operator']}, "
            + ", ".join(f"'{k}', {oc[k]}" for k in NATLOG_COLS[5:]) + ")")
-    # per-sentence: bind (si, ws) once; sequence(1, 0) descends — guard
+    # per-sentence: bind (si, ws, negation positions) once; sequence(1, 0)
+    # descends — guard
     one = _spark_let(
-        {"si": "si", "ws": "try_element_at(c0.sents, si)"},
+        {"si": "si", "ws": "try_element_at(c0.sents, si)",
+         "np": neg_positions_sql("try_element_at(c0.sents, si)", "spark")},
         f"transform(sequence(1, size(s0.ws)), i -> {row})", "s0")
     seq = ("CASE WHEN size(c0.sents) = 0 THEN array() "
            "ELSE sequence(1, size(c0.sents)) END")
@@ -137,10 +149,11 @@ ns0 AS (SELECT doc_id, {sents} AS sents FROM {from_tbl}),
 ns1 AS (SELECT doc_id, unnest(list_transform(range(1, len(sents) + 1),
           j -> struct_pack(si := j, ws := sents[j]))) AS sx FROM ns0),
 ns2 AS (SELECT doc_id, sx.si AS si, sx.ws AS ws,
+               {neg_positions_sql('sx.ws', 'duck')} AS np_,
                unnest(range(1, len(sx.ws) + 1)) AS i FROM ns1),
-ns3 AS (SELECT doc_id, si, ws, i, ws[i] AS w, len(ws) AS n FROM ns2),
+ns3 AS (SELECT doc_id, si, ws, np_, i, ws[i] AS w, len(ws) AS n FROM ns2),
 nl AS (SELECT doc_id, CAST(si - 1 AS BIGINT) AS sent_index,
               CAST(i AS BIGINT) AS token_index, w AS word,
-              {polarity_sql('ws', 'i', 'duck')} AS polarity,
+              {polarity_sql('np_', 'i', 'duck')} AS polarity,
               {cols}
        FROM ns3)"""
