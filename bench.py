@@ -41,8 +41,11 @@ HEADLINE = [
     "parse_tree_edges", "dep_tree_edges",
     "coref_chains", "coref_features", "natlog_tokens", "natlog_features",
     "srl_tokens",
-    # image_feature_materialization is timed by the dedicated flagship
-    # section below (input persisted untimed + warm-up), not this loop
+    # image_feature_materialization is NOT in this loop: its REGISTERED
+    # form (synth → decode → materialize-to-parquet → read-back → as-of)
+    # is timed separately below as *_query, while the dedicated flagship
+    # section keeps the r01-comparable core computation under the
+    # historical key (input persisted untimed + warm-up)
 ]
 
 
@@ -97,6 +100,15 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # the registered flagship query end-to-end (review r04: the section
+    # below times the r01-comparable CORE computation, which no longer
+    # covers the query's materialize/read-back/pre-agg steps)
+    t0 = time.perf_counter()
+    (Q.QUERIES["image_feature_materialization"](spark, SF_DIR)
+     .write.format("noop").mode("overwrite").save())
+    timings["image_feature_materialization_query"] = round(
+        time.perf_counter() - t0, 3)
 
     # flagship: image+caption as-of feature materialization (north_rule).
     # The input table is persisted UNTIMED (it exists on disk in production;

@@ -36,18 +36,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clj_nlp_parse_spark.dialect import _q
 from clj_nlp_parse_spark.operators.features import sentence_words_sql
-from clj_nlp_parse_spark.operators.trees import _spark_let
+from clj_nlp_parse_spark.operators.trees import _in, _spark_let
 
-#: downward-monotone operators: flip polarity over the rest of the sentence
+#: downward-monotone operators: flip polarity over the rest of the
+#: sentence. KEEP SORTED — _in renders the tuple verbatim and the
+#: rendered SQL must be deterministic across both dialects.
 NEGATION_WORDS = ("neither", "never", "no", "nor", "not", "without")
 #: generalized quantifiers: emit an operator spec, no polarity flip
 QUANTIFIER_WORDS = ("all", "each", "every", "many", "most", "some")
-
-
-def _in(var: str, words: tuple[str, ...]) -> str:
-    return f"{var} IN ({', '.join(_q(w) for w in sorted(words))})"
 
 
 def neg_positions_sql(ws: str, d: str = "spark") -> str:

@@ -142,9 +142,11 @@ def srl_expr(words: str) -> str:
     heads array<struct<dependency_label, function_tag>>>> (the reference
     srl.clj:143-162 record shape). One projection, zero shuffle."""
     from clj_nlp_parse_spark.operators import trees as TR
-    tags = (f"transform(y.ws, t -> "
-            f"({dialect.pos_case_expr('t', 'spark')}))")
-    ed_sorted = ("array_sort(y.ed, (a, b) -> "
+    # three-level let (review r04): tokenize ONCE (y0), tag ONCE (y1),
+    # and hand the bound tag array to tree_expr so the dep derivation
+    # does not re-tag — the engine's bind-once idiom end to end
+    ed_sorted = (f"array_sort({TR.tree_expr('y1.ws', 'dep', tags='y1.tg')}"
+                 ", (a, b) -> "
                  "CASE WHEN a.dependent < b.dependent THEN -1 "
                  "WHEN a.dependent > b.dependent THEN 1 ELSE 0 END)")
     row = (f"named_struct("
@@ -158,10 +160,14 @@ def srl_expr(words: str) -> str:
            f"'dependency_label', e.label, "
            f"'function_tag', {function_tag_sql('e.label')})) END)")
     body = f"transform(z.ed, e -> {row})"
-    inner = TR._spark_let(
-        {"ws": "y.ws", "tg": tags, "ed": ed_sorted}, body, "z")
-    return TR._spark_let(
-        {"ws": words, "ed": TR.tree_expr(words, "dep")}, inner, "y")
+    l3 = TR._spark_let(
+        {"ws": "y1.ws", "tg": "y1.tg", "ed": ed_sorted}, body, "z")
+    l2 = TR._spark_let(
+        {"ws": "y0.ws",
+         "tg": f"transform(y0.ws, t -> "
+               f"({dialect.pos_case_expr('t', 'spark')}))"},
+        l3, "y1")
+    return TR._spark_let({"ws": words}, l2, "y0")
 
 
 def add_srl(df: DataFrame, text_col: str = "text",

@@ -404,12 +404,18 @@ def _spark_let(bindings: dict[str, str], body: str, var: str) -> str:
             f"{var} -> {body}), 1)")
 
 
-def tree_expr(words: str, what: str = "edges") -> str:
+def tree_expr(words: str, what: str = "edges",
+              tags: str | None = None) -> str:
     """Spark expression: words array → edge array ('edges'), canonical
     serialization ('ser'), dependency edges ('dep'), or a struct of all
     three ('all'). Four nested let-bindings (tags, classes, kept runs,
-    chunks) so every array is materialized once per row."""
-    tags = f"transform({words}, t -> ({dialect.pos_case_expr('t', 'spark')}))"
+    chunks) so every array is materialized once per row.
+
+    tags: pass an ALREADY-BOUND tag array name to skip the internal POS
+    derivation when the caller has the tags in scope (srl_tokens reuses
+    its own tg — review r04)."""
+    tags = tags or (f"transform({words}, t -> "
+                    f"({dialect.pos_case_expr('t', 'spark')}))")
     if what == "all":
         # one shared binding chain emitting every tree column at once —
         # measured 1.5x faster than three independent columns at sf0.1

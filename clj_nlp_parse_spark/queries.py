@@ -1752,13 +1752,20 @@ def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFra
 
     Ties: stats are pre-aggregated to one row per (entity_id,
     feature_ts) via max() on BOTH sides, so the as-of match is unique
-    and the compare is deterministic."""
+    and the compare is deterministic.
+
+    n is PINNED to the fixture's 2000 rows at every sf (review r04: an
+    sf-dependent n made the oracle valid only at sf0.01) — the input is
+    synthesized, so sf_dir does not change what this query computes; the
+    scratch path carries the Spark applicationId so concurrent sessions
+    (pytest + check_oracle) never overwrite each other's read."""
     from clj_nlp_parse_spark import synth
     from clj_nlp_parse_spark.operators import asof, images
-    n = 500 if "0.001" in sf_dir else 2000
+    n = 2000
     imgs = synth.synth_images(spark, n)
     feats = images.extract_image_features(imgs)
-    scratch = _IMAGE_STATS_SCRATCH.format(n=n)
+    scratch = (_IMAGE_STATS_SCRATCH.format(n=n)
+               + "_" + spark.sparkContext.applicationId)
     (feats.where("decode_ok")
      .select("entity_id", "feature_ts", "px_mean_r", "px_std", "sharpness")
      .write.mode("overwrite").parquet(scratch))
@@ -2295,9 +2302,11 @@ def q_mention_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MFU_DICT_LABELS = {i.label for i in DICT_ITEMS}
 # advisor r03: a dict label colliding with a gazetteer type would silently
 # emit duplicate mentions_count_*/ratio_* columns — fail loudly instead
-assert not (_MFU_DICT_LABELS & set(NER.GAZETTEER)), (
-    "dictionary labels and gazetteer types must be disjoint: "
-    f"{_MFU_DICT_LABELS & set(NER.GAZETTEER)}")
+# (a raise, not an assert: `python -O` strips asserts)
+if _MFU_DICT_LABELS & set(NER.GAZETTEER):
+    raise ValueError(
+        "dictionary labels and gazetteer types must be disjoint: "
+        f"{_MFU_DICT_LABELS & set(NER.GAZETTEER)}")
 _MFU_ENTS = sorted(_MFU_DICT_LABELS) + sorted(NER.GAZETTEER)
 _MFU_COLS_DUCK = []
 for _e in _MFU_ENTS:
@@ -2660,7 +2669,8 @@ def q_srl_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("tg", F.expr(
              f"transform(ws, t -> ({dialect.pos_case_expr('t', 'spark')}))"))
          .select("doc_id", "ws", "tg",
-                 F.explode(F.expr(TR2.tree_expr("ws", "dep"))).alias("e")))
+                 F.explode(F.expr(TR2.tree_expr("ws", "dep", tags="tg")))
+                 .alias("e")))
     return (d.select(
         "doc_id",
         F.col("e.dependent").cast("long").alias("id"),
