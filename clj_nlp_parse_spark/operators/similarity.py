@@ -201,3 +201,18 @@ def cosine_dedup_pairs(vectors: DataFrame, threshold: float,
         F.expr(cosine_sql(f"a.{vec_col}", f"b.{vec_col}", "spark"))
         .alias("cosine"))
     return scored.where(F.col("cosine") >= threshold)
+
+
+def choose_ivf_cells(n_vectors: int, lo: int = 4, hi: int = 1 << 16) -> int:
+    """Pick the IVF cell count from the corpus size (the
+    choose_pack_chunk_hex precedent — scale-bounding constants are
+    derived, not hard-coded): cells ~ sqrt(N) balances per-query probe
+    cost (~k * N / cells exact scores) against centroid-table size
+    (cells x dim driver literals, broadcast into codegen). Rounded to a
+    power of two; clamped so the table stays a cheap literal even at
+    10^12 vectors (2^16 cells x 64 dims ~ 4M floats)."""
+    import math
+    if n_vectors <= 1:
+        return lo
+    k = round(math.log2(math.sqrt(n_vectors)))
+    return max(lo, min(hi, 1 << max(k, 0)))

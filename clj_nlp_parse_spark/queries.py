@@ -2441,7 +2441,12 @@ def q_first_non_null(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ----------------------------------------------------- IVF ANN (scale path 2)
-_IVF_CELLS = SIM._centroids(64, 8)
+#: embeddings row count at the driver's oracle scale factor (sf0.01) —
+#: the static oracle SQL must quantize with the SAME derived cell count
+#: the Spark side computes there (pinned like the flagship fixture; a
+#: contract test asserts the pin matches choose_ivf_cells)
+_IVF_ORACLE_N = 500
+_IVF_CELLS = SIM._centroids(64, SIM.choose_ivf_cells(_IVF_ORACLE_N))
 
 
 @register(
@@ -2471,9 +2476,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replays the identical deterministic quantizer; recall at
     nprobe>=2 is pytest-checked against brute force."""
     emb = _emb(spark, sf_dir)
+    n_cells = SIM.choose_ivf_cells(emb.count())  # derived, not hard-coded
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    out = SIM.ivf_topk(emb, queries, k=5, dim=64, n_cells=8, nprobe=1)
+    out = SIM.ivf_topk(emb, queries, k=5, dim=64, n_cells=n_cells,
+                       nprobe=1)
     return out.select("qid", "vec_id", "cosine",
                       F.col("rank").cast("int").alias("rank")) \
               .orderBy("qid", "rank")

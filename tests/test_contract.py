@@ -102,3 +102,31 @@ def test_feature_metas_match_operator_output_schemas(spark):
         meta_names = {name for name, _t in metas}
         missing = meta_names - outputs[family]
         assert not missing, (family, missing)
+
+
+def test_ivf_oracle_cell_pin_matches_derivation():
+    """The ivf_topk oracle SQL is static, so its centroid table is pinned
+    to choose_ivf_cells(<embeddings rows at the oracle sf>); if either
+    the derivation rule or the sf0.01 table size changes, this fails
+    before the driver's value-hash does."""
+    from clj_nlp_parse_spark import queries as Q
+    from clj_nlp_parse_spark.operators import similarity as SIM
+    import duckdb
+    n = duckdb.connect().execute(
+        "SELECT count(*) FROM '/root/testdata/sf0.01/embeddings.parquet'"
+    ).fetchone()[0]
+    assert n == Q._IVF_ORACLE_N
+    assert Q._IVF_CELLS == SIM._centroids(
+        64, SIM.choose_ivf_cells(Q._IVF_ORACLE_N))
+
+
+def test_choose_ivf_cells_rule():
+    from clj_nlp_parse_spark.operators import similarity as SIM
+    assert SIM.choose_ivf_cells(0) == 4          # floor
+    assert SIM.choose_ivf_cells(500) == 16       # sqrt(500)~22 → 2^4
+    assert SIM.choose_ivf_cells(2000) == 32      # sqrt(2000)~45 → 2^5
+    assert SIM.choose_ivf_cells(10**12) == 1 << 16   # cap
+    # monotone non-decreasing in N
+    vals = [SIM.choose_ivf_cells(n) for n in
+            (10, 100, 10**4, 10**6, 10**9, 10**12)]
+    assert vals == sorted(vals)
