@@ -152,7 +152,7 @@ def _probe_cells_expr(vec_col: str, cents: list[list[float]],
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
-             dim: int, n_cells: int = 8, nprobe: int = 1,
+             dim: int, n_cells: int | None = None, nprobe: int = 1,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
     """IVF-style approximate top-k (the second scale path beside lsh_topk):
@@ -164,7 +164,13 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
     Scan cost drops to ~nprobe/n_cells of the corpus; the cell id is an
     equi-join key so the probe is a broadcast hash join, and skewed cells
     are split by AQE. Recall vs brute force is pytest-checked; nprobe=1 is
-    exactly reproducible in DuckDB (oracle query `ivf_topk`)."""
+    exactly reproducible in DuckDB (oracle query `ivf_topk`).
+
+    n_cells=None derives ~sqrt(N) cells from a corpus count
+    (choose_ivf_cells); pass an explicit value when the caller needs a
+    pinned quantizer (the static-oracle query does)."""
+    if n_cells is None:
+        n_cells = choose_ivf_cells(vectors.count())
     cents = _centroids(dim, n_cells)
     vb = vectors.withColumn("__cell", F.expr(cell_expr(vec_col, cents)))
     qb = queries.withColumn(
@@ -216,3 +222,84 @@ def choose_ivf_cells(n_vectors: int, lo: int = 4, hi: int = 1 << 16) -> int:
         return lo
     k = round(math.log2(math.sqrt(n_vectors)))
     return max(lo, min(hi, 1 << max(k, 0)))
+
+
+def choose_planes_per_band(n_vectors: int,
+                           target_bucket_rows: int = 1 << 20,
+                           lo: int = 4, hi: int = 30) -> int:
+    """Planes-per-band r for the banded cosine LSH, derived from corpus
+    size (derive-dont-hardcode): expected bucket occupancy is N / 2^r and
+    the within-bucket pair join costs occupancy^2, so r grows as
+    log2(N / target) — the bucket bound holds at ANY corpus size. Recall
+    lost to a larger r is bought back by the OR over bands
+    (1 - (1 - p^r)^b), which is what the banded form is FOR."""
+    import math
+    if n_vectors <= target_bucket_rows:
+        return lo
+    return max(lo, min(hi,
+                       math.ceil(math.log2(n_vectors / target_bucket_rows))))
+
+
+#: seed base for per-band hyperplane tables (distinct from the
+#: single-table variant's 1234 so the two never share a table)
+BAND_SEED_BASE = 9100
+
+
+def band_bucket_exprs(vec_col: str, dim: int, n_bands: int,
+                      planes_per_band: int, d: str = "spark") -> list[str]:
+    """One sign-bucket expression per band, each from its own seeded
+    hyperplane table — dialect-common arithmetic."""
+    return [
+        _sign_bucket_expr(vec_col,
+                          _hyperplanes(dim, planes_per_band,
+                                       seed=BAND_SEED_BASE + b), d)
+        for b in range(n_bands)]
+
+
+def cosine_dedup_pairs_banded(vectors: DataFrame, threshold: float,
+                              dim: int, n_bands: int = 4,
+                              planes_per_band: int | None = None,
+                              n_vectors: int | None = None,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Banded (OR-amplified) embedding-cosine near-dup pairs — the scale
+    path of cosine_dedup_pairs. A SINGLE hyperplane table cannot scale:
+    its bucket occupancy grows linearly with N (quadratic pair join) and
+    adding planes to shrink buckets multiplies recall away (recall = p^r,
+    p = per-plane agreement ~ 1 - angle/pi). The banded form runs
+    `n_bands` independent tables and unions their candidates: recall =
+    1 - (1 - p^r)^b stays high while r = choose_planes_per_band(N) keeps
+    every bucket bounded. At threshold 0.99 (angle ~ 0.14 rad, p ~
+    0.955): r=8, b=4 -> recall ~ 0.924; r=4, b=4 -> 0.9988.
+
+    All candidate generation is equi-join on (band, bucket); candidates
+    are deduped BEFORE re-joining vectors for exact scoring, so vectors
+    cross the shuffle once per side, not once per band."""
+    if planes_per_band is None:
+        n = n_vectors if n_vectors is not None else vectors.count()
+        planes_per_band = choose_planes_per_band(n)
+    exprs = band_bucket_exprs(vec_col, dim, n_bands, planes_per_band)
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, 'bh', ({e}))"
+        for b, e in enumerate(exprs))
+    buckets = vectors.select(
+        F.col(id_col),
+        F.explode(F.expr(f"array({band_structs})")).alias("x"),
+    ).select(id_col, F.col("x.band").alias("band"),
+             F.col("x.bh").alias("bh"))
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bh") == F.col("b.bh"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    va = vectors.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("__vb"))
+    scored = (cand.join(va, "id_a").join(vb, "id_b")
+              .select("id_a", "id_b",
+                      F.expr(cosine_sql("__va", "__vb", "spark"))
+                      .alias("cosine")))
+    return scored.where(F.col("cosine") >= threshold)

@@ -2476,10 +2476,13 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replays the identical deterministic quantizer; recall at
     nprobe>=2 is pytest-checked against brute force."""
     emb = _emb(spark, sf_dir)
-    n_cells = SIM.choose_ivf_cells(emb.count())  # derived, not hard-coded
+    # the OPERATOR derives n_cells from a corpus count when unset; the
+    # registered query PINS it to the oracle's static quantizer so parity
+    # holds at every sf (the flagship fixture-n precedent)
     queries = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
-    out = SIM.ivf_topk(emb, queries, k=5, dim=64, n_cells=n_cells,
+    out = SIM.ivf_topk(emb, queries, k=5, dim=64,
+                       n_cells=SIM.choose_ivf_cells(_IVF_ORACLE_N),
                        nprobe=1)
     return out.select("qid", "vec_id", "cosine",
                       F.col("rank").cast("int").alias("rank")) \
@@ -2688,3 +2691,52 @@ def q_srl_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(SRL.propbank_sql("ws", "tg", "e.dependent", "spark"))
         .alias("propbank"))
         .orderBy("doc_id", "id"))
+
+
+# ----------------------------- banded cosine near-dup (dedup scale path)
+#: planes per band pinned to the derivation at the oracle sf's embedding
+#: count (the _IVF_ORACLE_N precedent; contract-tested below the IVF pin)
+_CB_R = SIM.choose_planes_per_band(_IVF_ORACLE_N)
+_CB_BANDS = 4
+_CB_DUCK_BK = " UNION ALL ".join(
+    f"SELECT vec_id, embedding, {b} AS band, ({e}) AS bh FROM e"
+    for b, e in enumerate(
+        SIM.band_bucket_exprs("embedding", 64, _CB_BANDS, _CB_R, "duck")))
+
+
+@register(
+    "cosine_dedup_banded",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL
+               SELECT vec_id + 1000000, embedding
+               FROM embeddings WHERE vec_id < 50),
+    bk AS ({_CB_DUCK_BK}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bk a JOIN bk b
+               ON a.band = b.band AND a.bh = b.bh
+                  AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b,
+           {SIM.cosine_sql('ea.embedding', 'eb.embedding', 'duck')} AS cosine
+    FROM cand
+    JOIN e ea ON ea.vec_id = id_a
+    JOIN e eb ON eb.vec_id = id_b
+    WHERE {SIM.cosine_sql('ea.embedding', 'eb.embedding', 'duck')} >= 0.99
+    ORDER BY id_a, id_b""",
+)
+def q_cosine_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (OR-amplified) embedding-cosine near-dup pairs — the scale
+    path of cosine_dedup_pairs: n_bands independent hyperplane tables,
+    candidates unioned and deduped before exact scoring, planes-per-band
+    derived from the corpus size so bucket occupancy is bounded at ANY N
+    (similarity.py cosine_dedup_pairs_banded). Same injected-duplicate
+    fixture as cosine_dedup_pairs."""
+    emb = _emb(spark, sf_dir)
+    dups = (emb.where(F.col("vec_id") < 50)
+            .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                    "embedding"))
+    e = emb.select("vec_id", "embedding").unionByName(dups)
+    out = SIM.cosine_dedup_pairs_banded(
+        e, threshold=0.99, dim=64, n_bands=_CB_BANDS,
+        planes_per_band=SIM.choose_planes_per_band(_IVF_ORACLE_N))
+    return out.orderBy("id_a", "id_b")

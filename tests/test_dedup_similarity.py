@@ -292,3 +292,55 @@ def test_decontaminate_flags_ngram_overlap(spark):
     # doc 1 shares the 4-gram 'the secret answer is'; doc 3 shares only a
     # 3-gram ('answer is forty') — below n, clean; doc 2 clean
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_banded_cosine_recall_beats_single_table(spark):
+    # OR-amplification claim, measured: same total plane budget (16), the
+    # banded split (4 bands x 4 planes) must recover MORE true near-dup
+    # pairs than one 16-plane table — and every reported pair must be a
+    # true pair (exact cosine verification is part of both operators)
+    import numpy as np
+    from clj_nlp_parse_spark.operators import similarity as SIM
+    rng = np.random.default_rng(77)
+    dim, n_base, n_dup = 16, 300, 80
+    base = rng.normal(size=(n_base, dim))
+    rows = [(i, base[i].tolist()) for i in range(n_base)]
+    truth = set()
+    for k in range(n_dup):
+        # near-duplicate of base k: cosine ~ 0.998
+        v = base[k] + 0.03 * rng.normal(size=dim)
+        rows.append((10000 + k, v.tolist()))
+        cos = float(base[k] @ v / (np.linalg.norm(base[k])
+                                   * np.linalg.norm(v)))
+        if cos >= 0.99:
+            truth.add((k, 10000 + k))
+    assert len(truth) >= 60
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    single = {(r.id_a, r.id_b) for r in SIM.cosine_dedup_pairs(
+        df, threshold=0.99, dim=dim, n_planes=16).collect()}
+    banded = {(r.id_a, r.id_b) for r in SIM.cosine_dedup_pairs_banded(
+        df, threshold=0.99, dim=dim, n_bands=4,
+        planes_per_band=4).collect()}
+    # no false positives on either path (exact verify)
+    brute = set()
+    allv = {i: np.array(v) for i, v in rows}
+    for a, b in [(a, b) for a in allv for b in allv if a < b]:
+        va, vb = allv[a], allv[b]
+        if va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.99:
+            brute.add((a, b))
+    assert single <= brute and banded <= brute
+    # the banded form dominates the single table at equal plane budget
+    assert len(banded & truth) > len(single & truth)
+    assert len(banded & truth) >= 0.95 * len(truth)
+
+
+def test_choose_planes_per_band_rule():
+    from clj_nlp_parse_spark.operators import similarity as SIM
+    assert SIM.choose_planes_per_band(500) == 4            # floor
+    assert SIM.choose_planes_per_band(1 << 20) == 4        # at target
+    assert SIM.choose_planes_per_band(1 << 24) == 4        # 2^4 buckets
+    assert SIM.choose_planes_per_band(1 << 30) == 10       # N/target=2^10
+    assert SIM.choose_planes_per_band(10 ** 12) == 20
+    vals = [SIM.choose_planes_per_band(n)
+            for n in (10, 10**6, 10**8, 10**10, 10**12, 10**14)]
+    assert vals == sorted(vals)                            # monotone
