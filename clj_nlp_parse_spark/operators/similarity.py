@@ -225,19 +225,38 @@ def choose_ivf_cells(n_vectors: int, lo: int = 4, hi: int = 1 << 16) -> int:
 
 
 def choose_planes_per_band(n_vectors: int,
-                           target_bucket_rows: int = 1 << 20,
-                           lo: int = 4, hi: int = 30) -> int:
+                           target_bucket_rows: int = 64,
+                           lo: int = 3, hi: int = 48) -> int:
     """Planes-per-band r for the banded cosine LSH, derived from corpus
-    size (derive-dont-hardcode): expected bucket occupancy is N / 2^r and
-    the within-bucket pair join costs occupancy^2, so r grows as
-    log2(N / target) — the bucket bound holds at ANY corpus size. Recall
-    lost to a larger r is bought back by the OR over bands
-    (1 - (1 - p^r)^b), which is what the banded form is FOR."""
+    size (derive-dont-hardcode): expected RANDOM-collision occupancy is
+    N / 2^r, and candidate volume is ~ b * N * occupancy / 2, so keeping
+    occupancy at a small constant (default 64) keeps candidates LINEAR
+    in N — r grows as log2(N / target) and the bound holds at ANY corpus
+    size. True near-dup clusters still collide (that is the point);
+    recall lost to a larger r is bought back by the OR over bands
+    (1 - (1 - p^r)^b) via choose_cosine_bands."""
     import math
     if n_vectors <= target_bucket_rows:
         return lo
     return max(lo, min(hi,
                        math.ceil(math.log2(n_vectors / target_bucket_rows))))
+
+
+def choose_cosine_bands(threshold: float, planes_per_band: int,
+                        recall: float = 0.95,
+                        lo: int = 2, hi: int = 64) -> int:
+    """Band count b for a target recall at the given cosine threshold:
+    per-plane agreement p = 1 - acos(threshold)/pi, per-band match p^r,
+    so b = ceil(ln(1-recall) / ln(1-p^r)) — the standard LSH OR-
+    amplification sizing. Derived, not hard-coded: as r grows with N
+    (choose_planes_per_band), b grows to hold the recall floor."""
+    import math
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    pr = p ** planes_per_band
+    if pr >= 1.0:
+        return lo
+    b = math.ceil(math.log(1.0 - recall) / math.log(1.0 - pr))
+    return max(lo, min(hi, b))
 
 
 #: seed base for per-band hyperplane tables (distinct from the
@@ -257,7 +276,7 @@ def band_bucket_exprs(vec_col: str, dim: int, n_bands: int,
 
 
 def cosine_dedup_pairs_banded(vectors: DataFrame, threshold: float,
-                              dim: int, n_bands: int = 4,
+                              dim: int, n_bands: int | None = None,
                               planes_per_band: int | None = None,
                               n_vectors: int | None = None,
                               id_col: str = "vec_id",
@@ -269,8 +288,10 @@ def cosine_dedup_pairs_banded(vectors: DataFrame, threshold: float,
     p = per-plane agreement ~ 1 - angle/pi). The banded form runs
     `n_bands` independent tables and unions their candidates: recall =
     1 - (1 - p^r)^b stays high while r = choose_planes_per_band(N) keeps
-    every bucket bounded. At threshold 0.99 (angle ~ 0.14 rad, p ~
-    0.955): r=8, b=4 -> recall ~ 0.924; r=4, b=4 -> 0.9988.
+    every bucket bounded and b = choose_cosine_bands(threshold, r) holds
+    the recall floor as r grows. At threshold 0.99 (angle ~ 0.14 rad,
+    p ~ 0.955): r=3, b=2 -> recall ~ 0.983; r=34 (the 10^12 setting),
+    b=13 -> ~0.95.
 
     All candidate generation is equi-join on (band, bucket); candidates
     are deduped BEFORE re-joining vectors for exact scoring, so vectors
@@ -278,6 +299,8 @@ def cosine_dedup_pairs_banded(vectors: DataFrame, threshold: float,
     if planes_per_band is None:
         n = n_vectors if n_vectors is not None else vectors.count()
         planes_per_band = choose_planes_per_band(n)
+    if n_bands is None:
+        n_bands = choose_cosine_bands(threshold, planes_per_band)
     exprs = band_bucket_exprs(vec_col, dim, n_bands, planes_per_band)
     band_structs = ", ".join(
         f"named_struct('band', {b}, 'bh', ({e}))"

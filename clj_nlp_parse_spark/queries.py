@@ -2697,7 +2697,7 @@ def q_srl_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: planes per band pinned to the derivation at the oracle sf's embedding
 #: count (the _IVF_ORACLE_N precedent; contract-tested below the IVF pin)
 _CB_R = SIM.choose_planes_per_band(_IVF_ORACLE_N)
-_CB_BANDS = 4
+_CB_BANDS = SIM.choose_cosine_bands(0.99, _CB_R)
 _CB_DUCK_BK = " UNION ALL ".join(
     f"SELECT vec_id, embedding, {b} AS band, ({e}) AS bh FROM e"
     for b, e in enumerate(
@@ -2738,5 +2738,5 @@ def q_cosine_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("vec_id", "embedding").unionByName(dups)
     out = SIM.cosine_dedup_pairs_banded(
         e, threshold=0.99, dim=64, n_bands=_CB_BANDS,
-        planes_per_band=SIM.choose_planes_per_band(_IVF_ORACLE_N))
+        planes_per_band=_CB_R)
     return out.orderBy("id_a", "id_b")

@@ -118,8 +118,9 @@ def test_ivf_oracle_cell_pin_matches_derivation():
     assert n == Q._IVF_ORACLE_N
     assert Q._IVF_CELLS == SIM._centroids(
         64, SIM.choose_ivf_cells(Q._IVF_ORACLE_N))
-    # same pin for the banded cosine dedup's planes-per-band
+    # same pin for the banded cosine dedup's planes-per-band and bands
     assert Q._CB_R == SIM.choose_planes_per_band(Q._IVF_ORACLE_N)
+    assert Q._CB_BANDS == SIM.choose_cosine_bands(0.99, Q._CB_R)
 
 
 def test_choose_ivf_cells_rule():

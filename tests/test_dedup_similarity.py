@@ -336,11 +336,27 @@ def test_banded_cosine_recall_beats_single_table(spark):
 
 def test_choose_planes_per_band_rule():
     from clj_nlp_parse_spark.operators import similarity as SIM
-    assert SIM.choose_planes_per_band(500) == 4            # floor
-    assert SIM.choose_planes_per_band(1 << 20) == 4        # at target
-    assert SIM.choose_planes_per_band(1 << 24) == 4        # 2^4 buckets
-    assert SIM.choose_planes_per_band(1 << 30) == 10       # N/target=2^10
-    assert SIM.choose_planes_per_band(10 ** 12) == 20
+    assert SIM.choose_planes_per_band(64) == 3             # floor
+    assert SIM.choose_planes_per_band(500) == 3            # 500/64 → 2^3
+    assert SIM.choose_planes_per_band(1 << 20) == 14       # 2^20/64
+    assert SIM.choose_planes_per_band(10 ** 12) == 34
+    assert SIM.choose_planes_per_band(10 ** 16) == 48      # cap
     vals = [SIM.choose_planes_per_band(n)
             for n in (10, 10**6, 10**8, 10**10, 10**12, 10**14)]
     assert vals == sorted(vals)                            # monotone
+
+
+def test_choose_cosine_bands_rule():
+    from clj_nlp_parse_spark.operators import similarity as SIM
+    # recall floor holds as r grows: b rises with r at fixed threshold
+    b3 = SIM.choose_cosine_bands(0.99, 3)
+    b34 = SIM.choose_cosine_bands(0.99, 34)
+    assert b3 == 2 and b34 == 13 and b34 > b3
+    # looser threshold (smaller p) needs more bands at the same r
+    assert SIM.choose_cosine_bands(0.9, 3) > SIM.choose_cosine_bands(0.99, 3)
+    # the sized (r, b) actually meets the recall target
+    import math
+    for thr, r in ((0.99, 3), (0.99, 34), (0.95, 10)):
+        b = SIM.choose_cosine_bands(thr, r)
+        p = 1 - math.acos(thr) / math.pi
+        assert 1 - (1 - p ** r) ** b >= 0.95
