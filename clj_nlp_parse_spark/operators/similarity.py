@@ -153,6 +153,7 @@ def _probe_cells_expr(vec_col: str, cents: list[list[float]],
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
              dim: int, n_cells: int | None = None, nprobe: int = 1,
+             n_vectors: int | None = None,
              id_col: str = "vec_id", vec_col: str = "embedding",
              qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
     """IVF-style approximate top-k (the second scale path beside lsh_topk):
@@ -167,10 +168,13 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
     exactly reproducible in DuckDB (oracle query `ivf_topk`).
 
     n_cells=None derives ~sqrt(N) cells from a corpus count
-    (choose_ivf_cells); pass an explicit value when the caller needs a
-    pinned quantizer (the static-oracle query does)."""
+    (choose_ivf_cells) — pass n_vectors when the count is already known
+    so a computed upstream plan is not executed twice just to count it;
+    pass an explicit n_cells when the caller needs a pinned quantizer
+    (the static-oracle query does)."""
     if n_cells is None:
-        n_cells = choose_ivf_cells(vectors.count())
+        n_cells = choose_ivf_cells(
+            n_vectors if n_vectors is not None else vectors.count())
     cents = _centroids(dim, n_cells)
     vb = vectors.withColumn("__cell", F.expr(cell_expr(vec_col, cents)))
     qb = queries.withColumn(
@@ -254,7 +258,9 @@ def choose_cosine_bands(threshold: float, planes_per_band: int,
     p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
     pr = p ** planes_per_band
     if pr >= 1.0:
-        return lo
+        return lo          # every band matches: one band suffices
+    if pr <= 0.0:
+        return hi          # no band can match: cap, don't divide by log(1)
     b = math.ceil(math.log(1.0 - recall) / math.log(1.0 - pr))
     return max(lo, min(hi, b))
 

@@ -1766,6 +1766,21 @@ def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFra
     feats = images.extract_image_features(imgs)
     scratch = (_IMAGE_STATS_SCRATCH.format(n=n)
                + "_" + spark.sparkContext.applicationId)
+    # purge stale sibling materializations (review r04: per-appId dirs
+    # accumulated without bound). Age-gated so a CONCURRENT session's
+    # live scratch is never deleted — only sessions dead > 1 h leave
+    # dirs that old.
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+    for old in _glob.glob(_IMAGE_STATS_SCRATCH.format(n="*") + "_*"):
+        try:
+            if (old != scratch
+                    and _time.time() - _os.path.getmtime(old) > 3600):
+                _shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
     (feats.where("decode_ok")
      .select("entity_id", "feature_ts", "px_mean_r", "px_std", "sharpness")
      .write.mode("overwrite").parquet(scratch))
@@ -2699,7 +2714,7 @@ def q_srl_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CB_R = SIM.choose_planes_per_band(_IVF_ORACLE_N)
 _CB_BANDS = SIM.choose_cosine_bands(0.99, _CB_R)
 _CB_DUCK_BK = " UNION ALL ".join(
-    f"SELECT vec_id, embedding, {b} AS band, ({e}) AS bh FROM e"
+    f"SELECT vec_id, {b} AS band, ({e}) AS bh FROM e"
     for b, e in enumerate(
         SIM.band_bucket_exprs("embedding", 64, _CB_BANDS, _CB_R, "duck")))
 
@@ -2716,12 +2731,14 @@ _CB_DUCK_BK = " UNION ALL ".join(
              FROM bk a JOIN bk b
                ON a.band = b.band AND a.bh = b.bh
                   AND a.vec_id < b.vec_id)
-    SELECT id_a, id_b,
-           {SIM.cosine_sql('ea.embedding', 'eb.embedding', 'duck')} AS cosine
-    FROM cand
-    JOIN e ea ON ea.vec_id = id_a
-    JOIN e eb ON eb.vec_id = id_b
-    WHERE {SIM.cosine_sql('ea.embedding', 'eb.embedding', 'duck')} >= 0.99
+    SELECT id_a, id_b, cosine FROM (
+      SELECT id_a, id_b,
+             {SIM.cosine_sql('ea.embedding', 'eb.embedding', 'duck')}
+               AS cosine
+      FROM cand
+      JOIN e ea ON ea.vec_id = id_a
+      JOIN e eb ON eb.vec_id = id_b)
+    WHERE cosine >= 0.99
     ORDER BY id_a, id_b""",
 )
 def q_cosine_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:

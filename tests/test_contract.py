@@ -116,11 +116,13 @@ def test_ivf_oracle_cell_pin_matches_derivation():
         "SELECT count(*) FROM '/root/testdata/sf0.01/embeddings.parquet'"
     ).fetchone()[0]
     assert n == Q._IVF_ORACLE_N
-    assert Q._IVF_CELLS == SIM._centroids(
-        64, SIM.choose_ivf_cells(Q._IVF_ORACLE_N))
-    # same pin for the banded cosine dedup's planes-per-band and bands
-    assert Q._CB_R == SIM.choose_planes_per_band(Q._IVF_ORACLE_N)
-    assert Q._CB_BANDS == SIM.choose_cosine_bands(0.99, Q._CB_R)
+    # LITERAL pins (review r04: recomputing the same expression the
+    # module computes is a tautology) — if a derivation rule changes,
+    # these fail and force a conscious oracle regeneration
+    assert len(Q._IVF_CELLS) == 16            # choose_ivf_cells(500)
+    assert Q._CB_R == 3                       # choose_planes_per_band(500)
+    assert Q._CB_BANDS == 2                   # choose_cosine_bands(.99, 3)
+    assert Q._IVF_CELLS == SIM._centroids(64, 16)
 
 
 def test_choose_ivf_cells_rule():
@@ -133,3 +135,30 @@ def test_choose_ivf_cells_rule():
     vals = [SIM.choose_ivf_cells(n) for n in
             (10, 100, 10**4, 10**6, 10**9, 10**12)]
     assert vals == sorted(vals)
+
+
+def test_dist_zip_matches_source():
+    """The committed spark-submit zip must match the working tree byte for
+    byte (review r04: a stale zip shipped superseded scale semantics).
+    Regenerate with `python tools/make_pyfiles.py` whenever the package
+    changes."""
+    import os
+    import zipfile
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(root, "dist", "clj_nlp_parse_spark.zip")
+    assert os.path.exists(zpath), "dist zip missing — run make_pyfiles.py"
+    z = zipfile.ZipFile(zpath)
+    names = set(z.namelist())
+    pkg = os.path.join(root, "clj_nlp_parse_spark")
+    for dirpath, _dirs, files in os.walk(pkg):
+        if "__pycache__" in dirpath:
+            continue
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            full = os.path.join(dirpath, f)
+            arc = os.path.relpath(full, root)
+            assert arc in names, f"{arc} missing from dist zip — regenerate"
+            assert z.read(arc) == open(full, "rb").read(), \
+                f"{arc} differs from dist zip — regenerate with make_pyfiles"
