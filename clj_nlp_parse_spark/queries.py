@@ -1718,6 +1718,26 @@ def q_np_vp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IMAGE_STATS_FIXTURE = "/root/repo/fixtures/image_stats_2000.parquet"
 #: scratch dir for the query's own materialization step (gitignored)
 _IMAGE_STATS_SCRATCH = "/root/repo/.artifacts/image_stats_{n}"
+#: stale-scratch age gate: a sibling older than this is from a dead
+#: session and safe to purge; younger siblings may belong to a LIVE
+#: concurrent session and are left alone
+_SCRATCH_TTL_S = 3600
+
+
+def _purge_stale_scratch(keep: str, ttl_s: int = _SCRATCH_TTL_S) -> None:
+    """Delete per-applicationId scratch siblings older than ttl_s (review
+    r04: they accumulated without bound — one dir per session)."""
+    import glob
+    import os
+    import shutil
+    import time
+    for old in glob.glob(_IMAGE_STATS_SCRATCH.format(n="*") + "_*"):
+        try:
+            if (old != keep
+                    and time.time() - os.path.getmtime(old) > ttl_s):
+                shutil.rmtree(old, ignore_errors=True)
+        except OSError:
+            pass
 
 
 @register(
@@ -1766,21 +1786,7 @@ def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFra
     feats = images.extract_image_features(imgs)
     scratch = (_IMAGE_STATS_SCRATCH.format(n=n)
                + "_" + spark.sparkContext.applicationId)
-    # purge stale sibling materializations (review r04: per-appId dirs
-    # accumulated without bound). Age-gated so a CONCURRENT session's
-    # live scratch is never deleted — only sessions dead > 1 h leave
-    # dirs that old.
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-    import time as _time
-    for old in _glob.glob(_IMAGE_STATS_SCRATCH.format(n="*") + "_*"):
-        try:
-            if (old != scratch
-                    and _time.time() - _os.path.getmtime(old) > 3600):
-                _shutil.rmtree(old, ignore_errors=True)
-        except OSError:
-            pass
+    _purge_stale_scratch(scratch)
     (feats.where("decode_ok")
      .select("entity_id", "feature_ts", "px_mean_r", "px_std", "sharpness")
      .write.mode("overwrite").parquet(scratch))

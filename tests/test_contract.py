@@ -162,3 +162,27 @@ def test_dist_zip_matches_source():
             assert arc in names, f"{arc} missing from dist zip — regenerate"
             assert z.read(arc) == open(full, "rb").read(), \
                 f"{arc} differs from dist zip — regenerate with make_pyfiles"
+
+
+def test_purge_stale_scratch_age_gate(tmp_path, monkeypatch):
+    """Old per-appId scratch dirs are purged; young ones (possibly a live
+    concurrent session) and the current session's own dir survive."""
+    import os
+    import time
+    from clj_nlp_parse_spark import queries as Q
+
+    base = str(tmp_path / "image_stats_{n}")
+    monkeypatch.setattr(Q, "_IMAGE_STATS_SCRATCH", base)
+    old = tmp_path / "image_stats_2000_local-dead"
+    young = tmp_path / "image_stats_2000_local-alive"
+    mine = tmp_path / "image_stats_2000_local-me"
+    for d in (old, young, mine):
+        d.mkdir()
+        (d / "part-0.parquet").write_bytes(b"x")
+    stale = time.time() - 7200
+    os.utime(old, (stale, stale))
+    os.utime(mine, (stale, stale))  # own dir is kept even if old
+    Q._purge_stale_scratch(str(mine))
+    assert not old.exists()
+    assert young.exists()
+    assert mine.exists()
