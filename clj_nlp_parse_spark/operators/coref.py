@@ -83,22 +83,39 @@ def coref_expr(text_col: str) -> str:
     array<struct<chain_id, mention_key, label, sent_index, token_beg,
     token_end, head_index, chain_size>>, mentions in textual order."""
     allm = doc_mentions_spark("c0.sents")
-    keys = (f"array_sort(filter(array_distinct("
-            f"transform(y.allm, m -> m.key)), k -> "
-            f"size(filter(y.allm, m -> m.key = k)) >= 2))")
+    # per-key counts computed ONCE over the sorted distinct keys
+    # (review r04: counting inside the per-mention emission was O(m^2)
+    # in mentions — one 10k-mention doc took 20.8 s; this O(d*m) form,
+    # d = distinct keys, runs it in <1 s and is corpus-independent)
+    counts = (f"transform(k0.dkeys, k -> "
+              f"size(filter(k0.allm, m -> m.key = k)))")
+    qkeys = (f"transform(filter(CASE WHEN size(k1.dkeys) = 0 THEN array() "
+             f"ELSE sequence(1, size(k1.dkeys)) END, i -> "
+             f"try_element_at(k1.counts, i) >= 2), i -> "
+             f"try_element_at(k1.dkeys, i))")
     row = (f"named_struct("
-           f"'chain_id', array_position(k.keys, m.key), "
+           f"'chain_id', array_position(k2.qkeys, m.key), "
            f"'mention_key', m.key, 'label', m.label, "
            f"'sent_index', cast(m.sent_index as bigint), "
            f"'token_beg', cast(m.tok_beg + 1 as bigint), "
            f"'token_end', cast(m.tok_end + 1 as bigint), "
            f"'head_index', cast(m.tok_end as bigint), "
-           f"'chain_size', cast(size(filter(k.allm, x -> x.key = m.key)) "
-           f"as bigint))")
-    body = (f"transform(filter(k.allm, m -> "
-            f"array_contains(k.keys, m.key)), m -> {row})")
-    l_k = _spark_let({"allm": "y.allm", "keys": keys}, body, "k")
-    l_y = _spark_let({"allm": allm}, l_k, "y")
+           f"'chain_size', cast(try_element_at(k2.counts, "
+           f"cast(array_position(k2.dkeys, m.key) as int)) as bigint))")
+    body = (f"transform(filter(k2.allm, m -> "
+            f"array_contains(k2.qkeys, m.key)), m -> {row})")
+    l_k2 = _spark_let(
+        {"allm": "k1.allm", "dkeys": "k1.dkeys", "counts": "k1.counts",
+         "qkeys": qkeys}, body, "k2")
+    l_k1 = _spark_let(
+        {"allm": "k0.allm", "dkeys": "k0.dkeys", "counts": counts},
+        l_k2, "k1")
+    l_k0 = _spark_let(
+        {"allm": "y.allm",
+         "dkeys": "array_sort(array_distinct("
+                  "transform(y.allm, m -> m.key)))"},
+        l_k1, "k0")
+    l_y = _spark_let({"allm": allm}, l_k0, "y")
     return _spark_let({"sents": sentence_words_sql(text_col, "spark")},
                       l_y, "c0")
 

@@ -90,32 +90,54 @@ def ner_mentions_sql(ty: str, d: str = "spark") -> str:
     A run STARTS at i where ty[i] is typed and differs (null-safely) from
     ty[i-1]; it ENDS before the first j > i whose type differs. The caller
     must let-bind `ty` (Spark HOFs re-evaluate free variables per lambda
-    call — the engine-wide let-binding idiom)."""
+    call — the engine-wide let-binding idiom).
+
+    LINEAR form (review r04): the old per-start tail scan for the run end
+    was O(n^2) on an alternating-type document. ALL break positions
+    (typed or not) are computed once; a run starting at break x ends at
+    break x+1 (or n+1) — an aligned-array lookup, so the whole extraction
+    is O(n + runs)."""
     if d == "spark":
         at = lambda i: f"try_element_at({ty}, {i})"
         neq = lambda a, b: f"NOT ({a} <=> {b})"
-        starts = (f"filter(sequence(1, size({ty})), i -> "
-                  f"{at('i')} IS NOT NULL AND "
-                  f"(i = 1 OR {neq(at('i - 1'), at('i'))}))")
-        nxt = (f"try_element_at(filter(sequence(i, size({ty})), j -> "
-               f"j > i AND {neq(at('j'), at('i'))}), 1)")
+        # every position where the type changes, typed or NULL
+        breaks = (f"filter(sequence(1, size({ty})), i -> "
+                  f"i = 1 OR {neq(at('i - 1'), at('i'))})")
+        # run ends aligned with breaks: next break, else n+1
+        ends = (f"transform(CASE WHEN size(w0.bs) = 0 THEN array() "
+                f"ELSE sequence(1, size(w0.bs)) END, x -> "
+                f"coalesce(try_element_at(w0.bs, x + 1), "
+                f"size({ty}) + 1))")
+        start_at = "try_element_at(w1.bs, x)"
+        body = (f"transform(filter(CASE WHEN size(w1.bs) = 0 THEN array() "
+                f"ELSE sequence(1, size(w1.bs)) END, x -> "
+                f"try_element_at({ty}, {start_at}) IS NOT NULL), "
+                f"x -> named_struct("
+                f"'label', try_element_at({ty}, {start_at}), "
+                f"'item_id', {MODEL_ITEM_ID}L, "
+                f"'tok_beg', {start_at} - 1, "
+                f"'tok_end', try_element_at(w1.en, x) - 1))")
+        inner = (f"try_element_at(transform(array(named_struct("
+                 f"'bs', w0.bs, 'en', {ends})), w1 -> {body}), 1)")
         return (f"CASE WHEN size({ty}) = 0 THEN array() ELSE "
-                f"transform({starts}, i -> named_struct("
-                f"'label', {at('i')}, 'item_id', {MODEL_ITEM_ID}L, "
-                f"'tok_beg', i - 1, "
-                f"'tok_end', coalesce({nxt}, size({ty}) + 1) - 1)) END")
+                f"try_element_at(transform(array(named_struct("
+                f"'bs', {breaks})), w0 -> {inner}), 1) END")
     at = lambda i: f"{ty}[{i}]"
     neq = lambda a, b: f"({a} IS DISTINCT FROM {b})"
-    starts = (f"list_filter(range(1, len({ty}) + 1), i -> "
-              f"{at('i')} IS NOT NULL AND "
-              f"(i = 1 OR {neq(at('i - 1'), at('i'))}))")
-    nxt = (f"list_filter(range(i, len({ty}) + 1), j -> "
-           f"j > i AND {neq(at('j'), at('i'))})[1]")
-    return (f"list_transform({starts}, i -> struct_pack("
-            f"label := {at('i')}, "
+    breaks = (f"list_filter(range(1, len({ty}) + 1), i -> "
+              f"i = 1 OR {neq(at('i - 1'), at('i'))})")
+    # DuckDB: out-of-range [x+1] is NULL, so the successor lookup needs
+    # no aligned ends array; bs is bound once via the single-element-
+    # lambda idiom (same trick as the Spark side)
+    body = (f"list_transform("
+            f"list_filter(range(1, len(bs0) + 1), x -> "
+            f"{ty}[bs0[x]] IS NOT NULL), "
+            f"x -> struct_pack("
+            f"label := {ty}[bs0[x]], "
             f"item_id := CAST({MODEL_ITEM_ID} AS BIGINT), "
-            f"tok_beg := i - 1, "
-            f"tok_end := coalesce({nxt}, len({ty}) + 1) - 1))")
+            f"tok_beg := bs0[x] - 1, "
+            f"tok_end := coalesce(bs0[x + 1], len({ty}) + 1) - 1))")
+    return f"list_transform([{breaks}], bs0 -> {body})[1]"
 
 
 def model_mentions_expr(words: str) -> str:
