@@ -104,19 +104,21 @@ def ner_mentions_sql(ty: str, d: str = "spark") -> str:
         breaks = (f"filter(sequence(1, size({ty})), i -> "
                   f"i = 1 OR {neq(at('i - 1'), at('i'))})")
         # run ends aligned with breaks: next break, else n+1
+        # nx, not x: a short lambda name can SHADOW an outer let
+        # variable of a CALLER that bound ty under that name
         ends = (f"transform(CASE WHEN size(w0.bs) = 0 THEN array() "
-                f"ELSE sequence(1, size(w0.bs)) END, x -> "
-                f"coalesce(try_element_at(w0.bs, x + 1), "
+                f"ELSE sequence(1, size(w0.bs)) END, nx -> "
+                f"coalesce(try_element_at(w0.bs, nx + 1), "
                 f"size({ty}) + 1))")
-        start_at = "try_element_at(w1.bs, x)"
+        start_at = "try_element_at(w1.bs, nx)"
         body = (f"transform(filter(CASE WHEN size(w1.bs) = 0 THEN array() "
-                f"ELSE sequence(1, size(w1.bs)) END, x -> "
+                f"ELSE sequence(1, size(w1.bs)) END, nx -> "
                 f"try_element_at({ty}, {start_at}) IS NOT NULL), "
-                f"x -> named_struct("
+                f"nx -> named_struct("
                 f"'label', try_element_at({ty}, {start_at}), "
                 f"'item_id', {MODEL_ITEM_ID}L, "
                 f"'tok_beg', {start_at} - 1, "
-                f"'tok_end', try_element_at(w1.en, x) - 1))")
+                f"'tok_end', try_element_at(w1.en, nx) - 1))")
         inner = (f"try_element_at(transform(array(named_struct("
                  f"'bs', w0.bs, 'en', {ends})), w1 -> {body}), 1)")
         return (f"CASE WHEN size({ty}) = 0 THEN array() ELSE "
@@ -130,13 +132,13 @@ def ner_mentions_sql(ty: str, d: str = "spark") -> str:
     # no aligned ends array; bs is bound once via the single-element-
     # lambda idiom (same trick as the Spark side)
     body = (f"list_transform("
-            f"list_filter(range(1, len(bs0) + 1), x -> "
-            f"{ty}[bs0[x]] IS NOT NULL), "
-            f"x -> struct_pack("
-            f"label := {ty}[bs0[x]], "
+            f"list_filter(range(1, len(bs0) + 1), nx -> "
+            f"{ty}[bs0[nx]] IS NOT NULL), "
+            f"nx -> struct_pack("
+            f"label := {ty}[bs0[nx]], "
             f"item_id := CAST({MODEL_ITEM_ID} AS BIGINT), "
-            f"tok_beg := bs0[x] - 1, "
-            f"tok_end := coalesce(bs0[x + 1], len({ty}) + 1) - 1))")
+            f"tok_beg := bs0[nx] - 1, "
+            f"tok_end := coalesce(bs0[nx + 1], len({ty}) + 1) - 1))")
     return f"list_transform([{breaks}], bs0 -> {body})[1]"
 
 

@@ -69,32 +69,49 @@ def kept_runs_sql(cl: str, tg: str, d: str = "spark") -> str:
     chunking.py). array<struct<label, beg, fin>> — beg 0-based, fin
     exclusive ('fin' not 'end': keyword-safe in both dialects). Both `cl`
     and `tg` must be bound names."""
+    # LINEAR form (review r04, the ner.py rewrite): break positions are
+    # computed once and each run ends at its successor break — no
+    # per-start tail scan, so alternating-class docs stay O(n + runs).
     if d == "spark":
         at = lambda a, i: f"try_element_at({a}, {i})"
         neq = lambda a, b: f"NOT ({a} <=> {b})"
-        starts = (f"filter(sequence(1, size({cl})), i -> "
-                  f"{at(cl, 'i')} IS NOT NULL AND "
-                  f"(i = 1 OR {neq(at(cl, 'i - 1'), at(cl, 'i'))}))")
-        nxt = (f"try_element_at(filter(sequence(i, size({cl})), j -> "
-               f"j > i AND {neq(at(cl, 'j'), at(cl, 'i'))}), 1)")
-        runs = (f"CASE WHEN size({cl}) = 0 THEN array() ELSE "
-                f"transform({starts}, i -> named_struct("
-                f"'label', {at(cl, 'i')}, 'beg', i - 1, "
-                f"'fin', coalesce({nxt}, size({cl}) + 1) - 1)) END")
-        return (f"filter({runs}, r -> exists("
+        breaks = (f"filter(sequence(1, size({cl})), i -> "
+                  f"i = 1 OR {neq(at(cl, 'i - 1'), at(cl, 'i'))})")
+        # kx, not x: short lambda names can SHADOW an outer let variable
+        # (tree_expr binds x) and silently rebind {cl}'s qualifier
+        ends = (f"transform(CASE WHEN size(t0.bs) = 0 THEN array() "
+                f"ELSE sequence(1, size(t0.bs)) END, kx -> "
+                f"coalesce(try_element_at(t0.bs, kx + 1), "
+                f"size({cl}) + 1))")
+        st = "try_element_at(t1.bs, kx)"
+        runs = (f"transform(filter(CASE WHEN size(t1.bs) = 0 THEN array() "
+                f"ELSE sequence(1, size(t1.bs)) END, kx -> "
+                f"{at(cl, st)} IS NOT NULL), "
+                f"kx -> named_struct("
+                f"'label', {at(cl, st)}, 'beg', {st} - 1, "
+                f"'fin', try_element_at(t1.en, kx) - 1))")
+        inner = (f"try_element_at(transform(array(named_struct("
+                 f"'bs', t0.bs, 'en', {ends})), t1 -> {runs}), 1)")
+        kept = (f"CASE WHEN size({cl}) = 0 THEN "
+                f"cast(array() as array<struct<label:string, beg:int, "
+                f"fin:int>>) ELSE "
+                f"try_element_at(transform(array(named_struct("
+                f"'bs', {breaks})), t0 -> {inner}), 1) END")
+        return (f"filter({kept}, r -> exists("
                 f"sequence(r.beg + 1, r.fin), "
                 f"j -> {_head_cond(at(tg, 'j'))}))")
     at = lambda a, i: f"{a}[{i}]"
     neq = lambda a, b: f"({a} IS DISTINCT FROM {b})"
-    starts = (f"list_filter(range(1, len({cl}) + 1), i -> "
-              f"{at(cl, 'i')} IS NOT NULL AND "
-              f"(i = 1 OR {neq(at(cl, 'i - 1'), at(cl, 'i'))}))")
-    nxt = (f"list_filter(range(i, len({cl}) + 1), j -> "
-           f"j > i AND {neq(at(cl, 'j'), at(cl, 'i'))})[1]")
-    runs = (f"list_transform({starts}, i -> struct_pack("
-            f"label := {at(cl, 'i')}, beg := i - 1, "
-            f"fin := coalesce({nxt}, len({cl}) + 1) - 1))")
-    return (f"list_filter({runs}, r -> len(list_filter("
+    breaks = (f"list_filter(range(1, len({cl}) + 1), i -> "
+              f"i = 1 OR {neq(at(cl, 'i - 1'), at(cl, 'i'))})")
+    runs = (f"list_transform("
+            f"list_filter(range(1, len(bs1) + 1), kx -> "
+            f"{cl}[bs1[kx]] IS NOT NULL), "
+            f"kx -> struct_pack("
+            f"label := {cl}[bs1[kx]], beg := bs1[kx] - 1, "
+            f"fin := coalesce(bs1[kx + 1], len({cl}) + 1) - 1))")
+    kept = f"list_transform([{breaks}], bs1 -> {runs})[1]"
+    return (f"list_filter({kept}, r -> len(list_filter("
             f"range(r.beg + 1, r.fin + 1), "
             f"j -> {_head_cond(at(tg, 'j'))})) > 0)")
 
