@@ -60,20 +60,44 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 1234) -> list[list[float]]
 def _sign_bucket_expr(vec_col: str, planes: list[list[float]],
                       d: str = "spark") -> str:
     """Bucket id = sign bits of <vec, plane_i> — dialect-common arithmetic
-    (identical in Spark SQL and DuckDB so the oracle can replay it)."""
+    (identical in Spark SQL and DuckDB so the oracle can replay it).
+
+    Spark side is a CONSTANT-SIZE fold (review r04): the old fully
+    unrolled `e1*w1 + e2*w2 + ...` sum grew the generated Java method
+    with r*dim and blew janino's 64 KB limit even at r=3/b=2 (silent
+    whole-stage-codegen fallback to interpreted execution); the plane
+    table is now an array LITERAL (data, and CreateArray codegen splits
+    element writes across methods) folded with zip_with/aggregate, so
+    the generated code stays small at ANY r — pinned by the
+    fallback-disabled test at the derived ceiling r=48/b=64
+    (tests/test_dedup_similarity.py). The fold seeds 0.0 then adds
+    left-to-right, IEEE-identical to the old left-assoc sum for every
+    sign decision (0.0 + t1 == t1 up to the sign of zero, and the value
+    is only compared > 0.0). DuckDB has no codegen limit, so the oracle
+    branch keeps the unrolled form — same products, same order.
+
+    sb*-prefixed lambda names: short names can SHADOW an outer
+    let-binding variable of a caller (the engine-wide naming rule)."""
+    if d == "spark":
+        planes_lit = "array(" + ", ".join(
+            "array(" + ", ".join(f"cast({w!r} as double)" for w in p)
+            + ")" for p in planes) + ")"
+        dot = (f"aggregate(zip_with(slice({vec_col}, 1, {len(planes[0])}), "
+               f"sbw, (sbx, sby) -> cast(sbx as double) * sby), "
+               f"cast(0.0 as double), (sbs, sbv) -> sbs + sbv)")
+        bits = (f"zip_with({planes_lit}, "
+                f"sequence(0, {len(planes) - 1}), (sbw, sbp) -> "
+                f"CASE WHEN ({dot}) > 0.0 THEN shiftleft(1L, sbp) "
+                f"ELSE 0L END)")
+        return (f"aggregate({bits}, cast(0 as bigint), "
+                f"(sba, sbb) -> sba + sbb)")
     bits = []
     for i, p in enumerate(planes):
-        if d == "spark":
-            elems = [f"cast(try_element_at({vec_col}, {j + 1}) as double)"
-                     for j in range(len(p))]
-            one = "L"
-        else:
-            elems = [f"CAST({vec_col}[{j + 1}] AS DOUBLE)"
-                     for j in range(len(p))]
-            one = "::BIGINT"
+        elems = [f"CAST({vec_col}[{j + 1}] AS DOUBLE)"
+                 for j in range(len(p))]
         dot = " + ".join(f"{e} * {w!r}" for e, w in zip(elems, p))
-        bits.append(f"(CASE WHEN ({dot}) > 0.0 THEN {1 << i}{one} "
-                    f"ELSE 0{one} END)")
+        bits.append(f"(CASE WHEN ({dot}) > 0.0 THEN {1 << i}::BIGINT "
+                    f"ELSE 0::BIGINT END)")
     return "(" + " + ".join(bits) + ")"
 
 
@@ -308,14 +332,20 @@ def cosine_dedup_pairs_banded(vectors: DataFrame, threshold: float,
     if n_bands is None:
         n_bands = choose_cosine_bands(threshold, planes_per_band)
     exprs = band_bucket_exprs(vec_col, dim, n_bands, planes_per_band)
-    band_structs = ", ".join(
-        f"named_struct('band', {b}, 'bh', ({e}))"
-        for b, e in enumerate(exprs))
-    buckets = vectors.select(
+    # one projected COLUMN per band, then posexplode over the column
+    # references (review r04): inlining all bands into a single array
+    # expression concentrated b*r*dim worth of generated code in one
+    # janino method; as separate projection expressions each band is its
+    # own codegen split unit, and the exploded array is just b refs.
+    # posexplode's pos IS the band index (same 0-based order as the
+    # seeded band tables, so the oracle's enumerate() replay matches).
+    buckets = (vectors.select(
         F.col(id_col),
-        F.explode(F.expr(f"array({band_structs})")).alias("x"),
-    ).select(id_col, F.col("x.band").alias("band"),
-             F.col("x.bh").alias("bh"))
+        *[F.expr(e).alias(f"__bh{b}") for b, e in enumerate(exprs)])
+        .select(id_col,
+                F.posexplode(F.array(
+                    *[F.col(f"__bh{b}") for b in range(n_bands)]))
+                .alias("band", "bh")))
     a, b_ = buckets.alias("a"), buckets.alias("b")
     cand = (a.join(b_, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bh") == F.col("b.bh"))

@@ -9,6 +9,7 @@ from the same rule tables (dialect.py) so arithmetic is bit-identical.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1587,18 +1588,35 @@ PACK_TARGET_GROUP_ROWS = 1 << 20
 PACK_CHUNK_HEX_MAX = 6
 
 
+#: per-(corpus, target) memo for choose_pack_chunk_hex (review r05): the
+#: derivation scan is a metadata lookup, not part of the packing job, so
+#: repeated builds in one session (bench timing loops, oracle checks)
+#: should pay it once. Safe to cache per sf_dir: the testdata corpora are
+#: immutable inputs; a production deployment keying on a mutable table
+#: would key on the table's snapshot id instead.
+_PACK_CHUNK_HEX_CACHE: dict[tuple[str, int], int] = {}
+
+
 def choose_pack_chunk_hex(w: DataFrame,
-                          target: int = PACK_TARGET_GROUP_ROWS) -> int:
+                          target: int = PACK_TARGET_GROUP_ROWS,
+                          cache_key: str | None = None) -> int:
     """Pick the md5-prefix chunk width from data: one cheap agg (column-
     pruned to lang, map-side combined) -> driver scalar, the
     choose_asof_strategy precedent. The packing LAYOUT is invariant to k —
     the chunk is a prefix of the md5 sort key, so chunk order == global
-    order for every k — only the task-group bound changes."""
+    order for every k — only the task-group bound changes. Pass
+    cache_key (an immutable-corpus identifier, e.g. the sf_dir) to memo
+    the scan across repeated plan builds in one session."""
+    key = (cache_key, target) if cache_key is not None else None
+    if key is not None and key in _PACK_CHUNK_HEX_CACHE:
+        return _PACK_CHUNK_HEX_CACHE[key]
     biggest = (w.groupBy("lang").count()
                .agg(F.max("count").alias("m")).first()["m"]) or 0
     k = 1
     while biggest > target * (16 ** k) and k < PACK_CHUNK_HEX_MAX:
         k += 1
+    if key is not None:
+        _PACK_CHUNK_HEX_CACHE[key] = k
     return k
 
 
@@ -1644,7 +1662,8 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     h = F.md5(F.col("doc_id").cast("string"))
     chunk_hex = choose_pack_chunk_hex(
-        docs.select("doc_id", "lang"))  # derived, not hard-coded (r03 #4)
+        docs.select("doc_id", "lang"),  # derived, not hard-coded (r03 #4)
+        cache_key=sf_dir)               # memoized per corpus (r05)
     w = docs.select(
         "doc_id", "lang",
         F.expr(f"size({dialect.tokens_expr('text', 'spark')})")
@@ -1715,22 +1734,47 @@ def q_np_vp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: SAME deterministic synth+decode+stats code the query runs — the oracle
 #: reads the fixture, the query re-materializes live; any behavior change
 #: in the decode/stats path turns the driver's value-hash gate red.
-_IMAGE_STATS_FIXTURE = "/root/repo/fixtures/image_stats_2000.parquet"
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_IMAGE_STATS_FIXTURE = os.path.join(
+    _REPO_ROOT, "fixtures", "image_stats_2000.parquet")
 #: scratch dir for the query's own materialization step (gitignored)
-_IMAGE_STATS_SCRATCH = "/root/repo/.artifacts/image_stats_{n}"
+_IMAGE_STATS_SCRATCH = os.path.join(
+    _REPO_ROOT, ".artifacts", "image_stats_{n}")
 #: stale-scratch age gate: a sibling older than this is from a dead
 #: session and safe to purge; younger siblings may belong to a LIVE
-#: concurrent session and are left alone
-_SCRATCH_TTL_S = 3600
+#: concurrent session and are left alone. Every invocation overwrites
+#: its own scratch (refreshing its mtime), so a dir only looks stale
+#: after its session has not re-invoked the query for this long — 12h
+#: (review r05; was 1h) so only a session idle for half a day can race,
+#: at the cost of a few extra ~50 KB dirs lingering between sessions.
+_SCRATCH_TTL_S = 12 * 3600
 
 
-def _purge_stale_scratch(keep: str, ttl_s: int = _SCRATCH_TTL_S) -> None:
+#: applicationIds that already ran the sibling purge this process
+_PURGED_APPS: set[str] = set()
+
+
+def _purge_stale_scratch(keep: str, app_id: str,
+                         ttl_s: int = _SCRATCH_TTL_S) -> None:
     """Delete per-applicationId scratch siblings older than ttl_s (review
-    r04: they accumulated without bound — one dir per session)."""
+    r04: they accumulated without bound — one dir per session). Runs
+    ONCE per application (review r05): purging on every invocation
+    multiplied the race window against live concurrent sessions; now a
+    sibling can only be deleted at another session's FIRST invocation,
+    and only if its own session has not re-invoked (each invocation's
+    overwrite refreshes the dir mtime) for ttl_s. Residual, documented:
+    a session that builds the DataFrame once, idles past ttl_s, and then
+    re-triggers an action on the stale handle can still race a freshly
+    started session — Spark re-reads the parquet lazily and there is no
+    cross-JVM liveness signal for local applicationIds; the 12h TTL
+    makes that window a deliberately rare edge."""
     import glob
     import os
     import shutil
     import time
+    if app_id in _PURGED_APPS:
+        return
+    _PURGED_APPS.add(app_id)
     for old in glob.glob(_IMAGE_STATS_SCRATCH.format(n="*") + "_*"):
         try:
             if (old != keep
@@ -1784,9 +1828,9 @@ def q_image_feature_materialization(spark: SparkSession, sf_dir: str) -> DataFra
     n = 2000
     imgs = synth.synth_images(spark, n)
     feats = images.extract_image_features(imgs)
-    scratch = (_IMAGE_STATS_SCRATCH.format(n=n)
-               + "_" + spark.sparkContext.applicationId)
-    _purge_stale_scratch(scratch)
+    app_id = spark.sparkContext.applicationId
+    scratch = _IMAGE_STATS_SCRATCH.format(n=n) + "_" + app_id
+    _purge_stale_scratch(scratch, app_id)
     (feats.where("decode_ok")
      .select("entity_id", "feature_ts", "px_mean_r", "px_std", "sharpness")
      .write.mode("overwrite").parquet(scratch))
@@ -2762,4 +2806,62 @@ def q_cosine_dedup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = SIM.cosine_dedup_pairs_banded(
         e, threshold=0.99, dim=64, n_bands=_CB_BANDS,
         planes_per_band=_CB_R)
+    return out.orderBy("id_a", "id_b")
+
+
+#: the DERIVED-path pins (VERDICT_r04 #4): the production entry point
+#: sizes r from the ACTUAL corpus count (N = sf0.01 embeddings + 50
+#: injected dups = 550) and b from the recall rule; the oracle replays
+#: exactly those derived values, so the value-hash gate covers the code
+#: path a deployment runs, not just the pinned-small oracle setting.
+#: Literal pins contract-tested next to the IVF pin.
+_CBD_N = _IVF_ORACLE_N + 50
+_CBD_R = SIM.choose_planes_per_band(_CBD_N)
+_CBD_BANDS = SIM.choose_cosine_bands(0.99, _CBD_R)
+_CBD_DUCK_BK = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, ({e}) AS bh FROM e"
+    for b, e in enumerate(
+        SIM.band_bucket_exprs("embedding", 64, _CBD_BANDS, _CBD_R,
+                              "duck")))
+
+
+@register(
+    "cosine_dedup_banded_derived",
+    f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL
+               SELECT vec_id + 1000000, embedding
+               FROM embeddings WHERE vec_id < 50),
+    bk AS ({_CBD_DUCK_BK}),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bk a JOIN bk b
+               ON a.band = b.band AND a.bh = b.bh
+                  AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, cosine FROM (
+      SELECT id_a, id_b,
+             {SIM.cosine_sql('ea.embedding', 'eb.embedding', 'duck')}
+               AS cosine
+      FROM cand
+      JOIN e ea ON ea.vec_id = id_a
+      JOIN e eb ON eb.vec_id = id_b)
+    WHERE cosine >= 0.99
+    ORDER BY id_a, id_b""",
+)
+def q_cosine_dedup_banded_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cosine_dedup_banded through the PRODUCTION parameter path
+    (VERDICT_r04 #4): r and b are NOT passed — cosine_dedup_pairs_banded
+    counts the corpus and derives r = choose_planes_per_band(N),
+    b = choose_cosine_bands(0.99, r) itself (one documented eager
+    metadata count at plan build, the choose_asof_strategy precedent).
+    The static oracle replays the values that derivation yields at the
+    oracle sf (N = 550 → r = 4, b = 2 — a DIFFERENT r than the pinned
+    query's 3, so the gate exercises the derived sizing, not a
+    coincidence). Same injected-duplicate fixture, same exact-verify
+    contract: every reported pair has true cosine ≥ 0.99."""
+    emb = _emb(spark, sf_dir)
+    dups = (emb.where(F.col("vec_id") < 50)
+            .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                    "embedding"))
+    e = emb.select("vec_id", "embedding").unionByName(dups)
+    out = SIM.cosine_dedup_pairs_banded(e, threshold=0.99, dim=64)
     return out.orderBy("id_a", "id_b")

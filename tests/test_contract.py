@@ -122,6 +122,12 @@ def test_ivf_oracle_cell_pin_matches_derivation():
     assert len(Q._IVF_CELLS) == 16            # choose_ivf_cells(500)
     assert Q._CB_R == 3                       # choose_planes_per_band(500)
     assert Q._CB_BANDS == 2                   # choose_cosine_bands(.99, 3)
+    # derived-path variant (r05): N = 500 + 50 injected dups; r MUST
+    # differ from the pinned query's so the gate isn't a coincidence
+    assert Q._CBD_N == 550
+    assert Q._CBD_R == 4                      # choose_planes_per_band(550)
+    assert Q._CBD_BANDS == 2                  # choose_cosine_bands(.99, 4)
+    assert Q._CBD_R != Q._CB_R
     assert Q._IVF_CELLS == SIM._centroids(64, 16)
 
 
@@ -179,10 +185,19 @@ def test_purge_stale_scratch_age_gate(tmp_path, monkeypatch):
     for d in (old, young, mine):
         d.mkdir()
         (d / "part-0.parquet").write_bytes(b"x")
-    stale = time.time() - 7200
+    stale = time.time() - Q._SCRATCH_TTL_S - 3600
     os.utime(old, (stale, stale))
     os.utime(mine, (stale, stale))  # own dir is kept even if old
-    Q._purge_stale_scratch(str(mine))
+    Q._PURGED_APPS.discard("app-me")
+    Q._purge_stale_scratch(str(mine), "app-me")
     assert not old.exists()
     assert young.exists()
     assert mine.exists()
+    # once-per-application (review r05): a second call from the same app
+    # is a no-op even against a newly stale sibling
+    old2 = tmp_path / "image_stats_2000_local-dead2"
+    old2.mkdir()
+    os.utime(old2, (stale, stale))
+    Q._purge_stale_scratch(str(mine), "app-me")
+    assert old2.exists()
+    Q._PURGED_APPS.discard("app-me")

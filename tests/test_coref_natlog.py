@@ -285,3 +285,39 @@ def test_coref_natlog_python_twin_hypothesis(spark):
         _twin_compare(spark, texts)
 
     check()
+
+
+def test_coref_natlog_python_twin_degenerate(spark):
+    """VERDICT_r04 #2: the twin comparison on the degenerate shapes a
+    web corpus actually contains — one giant sentence, negation-dense,
+    alternating-type runs, one unbroken mention run — so the oracle-
+    independence check covers the worst-case scan paths, not just salad."""
+    giant = " ".join(
+        "not" if i % 7 == 0 else ("customer" if i % 3 == 0 else f"w{i%13}")
+        for i in range(3000))                       # no sentence break
+    alternating = " ".join(
+        "scan" if i % 2 == 0 else "the" for i in range(2000))
+    one_run = " ".join("customer" for _ in range(1500))  # single mention
+    quant_dense = " . ".join(
+        " ".join(["every", "table", "no", "merge"] * 20)
+        for _ in range(10))
+    _twin_compare(spark, [giant, alternating, one_run, quant_dense])
+
+
+def test_coref_natlog_python_twin_hypothesis_sentenceless(spark):
+    """Random docs with NO sentence breaks (the single-sentence web page)
+    plus random break-dense docs — the two extremes of the splitter."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=60)
+           .map(" ".join),
+           st.integers(min_value=0, max_value=5))
+    def check(text, breaks):
+        # interleave `breaks` hard breaks at deterministic positions
+        ws = text.split(" ")
+        step = max(1, len(ws) // (breaks + 1))
+        parts = [" ".join(ws[i:i + step]) for i in range(0, len(ws), step)]
+        _twin_compare(spark, [text, " . ".join(parts)])
+
+    check()

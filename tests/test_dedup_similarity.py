@@ -360,3 +360,32 @@ def test_choose_cosine_bands_rule():
         b = SIM.choose_cosine_bands(thr, r)
         p = 1 - math.acos(thr) / math.pi
         assert 1 - (1 - p ** r) ** b >= 0.95
+
+
+def test_banded_codegen_survives_derived_ceiling(spark):
+    # ADVICE r04: the old unrolled sign-bucket expression blew janino's
+    # 64 KB method limit even at r=3/b=2 and silently fell back to
+    # interpreted execution. The fold form must COMPILE (no fallback) at
+    # the derivation ceiling r=48/b=64 — run with codegen fallback
+    # DISABLED so a regression raises instead of degrading silently.
+    import numpy as np
+    from clj_nlp_parse_spark.operators import similarity as SIM
+    rng = np.random.default_rng(11)
+    rows = [(i, v.tolist()) for i, v in
+            enumerate(rng.normal(size=(8, 64)))]
+    rows += [(100 + i, rows[i][1]) for i in range(3)]  # exact dups
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    old = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        got = {(r.id_a, r.id_b) for r in SIM.cosine_dedup_pairs_banded(
+            df, threshold=0.99, dim=64, n_bands=64,
+            planes_per_band=48).collect()}
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+    # with 48 planes/band a single band rarely collides at random, but
+    # exact dups agree on EVERY plane → all 64 bands; recall is 1.0 here
+    assert {(0, 100), (1, 101), (2, 102)} <= got
+    for a, b in got:
+        va = np.array(dict(rows)[a]); vb = np.array(dict(rows)[b])
+        assert va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)) >= 0.99

@@ -15,9 +15,10 @@ change is intentional:
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -27,7 +28,9 @@ from clj_nlp_parse_spark.operators import images
 from clj_nlp_parse_spark.session import get_spark
 
 N = 2000  # the driver's correctness gate runs at sf0.01 → n=2000
-OUT = "/root/repo/fixtures/image_stats_2000.parquet"
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "fixtures", "image_stats_2000.parquet")
 
 
 def main():
