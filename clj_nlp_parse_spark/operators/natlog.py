@@ -69,6 +69,32 @@ def polarity_sql(np_: str, i: str, d: str = "spark") -> str:
     return f"CASE WHEN {cnt} % 2 = 1 THEN 'down' ELSE 'up' END"
 
 
+def aligned_polarity_sql(np_: str, n: str) -> str:
+    """Token-aligned polarity ARRAY (Spark side): element i is the
+    polarity of 1-based token i. polarity_sql re-filters the negation
+    array per token — O(n * #negs), quadratic on an ALL-negation
+    sentence (r5, the _chunk_pos_index_sql precedent); this builds the
+    whole array once in O(n + #negs): between consecutive negation
+    positions the strictly-before count is constant (k-1 negations
+    precede every token in (np[k-1], np[k]]), so the array is a concat
+    of constant-polarity repeat segments plus the tail after the last
+    negation. The DuckDB oracle keeps the per-token count — same
+    parity, replayable at oracle sizes. `np_`/`n` must be bound names
+    (positions ascending — neg_positions_sql filters a sequence)."""
+    at = lambda k: f"try_element_at({np_}, {k})"
+    # try_element_at index 0 throws — guard the first segment's base
+    prev = f"CASE WHEN nk = 1 THEN 0 ELSE {at('nk - 1')} END"
+    pol = lambda cnt: (f"CASE WHEN ({cnt}) % 2 = 1 THEN 'down' "
+                       f"ELSE 'up' END")
+    segs = (f"flatten(transform(CASE WHEN size({np_}) = 0 THEN "
+            f"cast(array() as array<int>) ELSE "
+            f"sequence(1, size({np_})) END, nk -> "
+            f"array_repeat({pol('nk - 1')}, {at('nk')} - ({prev}))))")
+    tail = (f"array_repeat({pol(f'size({np_})')}, "
+            f"{n} - coalesce({at('-1')}, 0))")
+    return f"concat({segs}, {tail})"
+
+
 def operator_cols_sql(w: str, i: str, n: str) -> dict[str, str]:
     """The seven operator-spec columns (dialect-common SQL) for token
     expr `w` at 1-based position `i` in a sentence of `n` tokens. NULL
@@ -110,15 +136,21 @@ def natlog_expr(text_col: str) -> str:
            f"'sent_index', cast(s0.si - 1 as bigint), "
            f"'token_index', cast(i as bigint), "
            f"'word', try_element_at(s0.ws, i), "
-           f"'polarity', {polarity_sql('s0.np', 'i', 'spark')}, "
+           f"'polarity', try_element_at(s0.pol, i), "
            f"'operator', {oc['operator']}, "
            + ", ".join(f"'{k}', {oc[k]}" for k in NATLOG_COLS[5:]) + ")")
-    # per-sentence: bind (si, ws, negation positions) once; sequence(1, 0)
-    # descends — guard
+    # per-sentence: bind (si, ws, negation positions, aligned polarity)
+    # once; the polarity array is O(n + #negs) instead of a per-token
+    # re-filter (r5 — linear on all-negation sentences); sequence(1, 0)
+    # descends — guard. Nested let: pol needs the BOUND np.
+    inner = _spark_let(
+        {"si": "p0.si", "ws": "p0.ws",
+         "pol": aligned_polarity_sql("p0.np", "size(p0.ws)")},
+        f"transform(sequence(1, size(s0.ws)), i -> {row})", "s0")
     one = _spark_let(
         {"si": "si", "ws": "try_element_at(c0.sents, si)",
          "np": neg_positions_sql("try_element_at(c0.sents, si)", "spark")},
-        f"transform(sequence(1, size(s0.ws)), i -> {row})", "s0")
+        inner, "p0")
     seq = ("CASE WHEN size(c0.sents) = 0 THEN array() "
            "ELSE sequence(1, size(c0.sents)) END")
     body = f"flatten(transform({seq}, si -> {one}))"

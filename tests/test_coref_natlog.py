@@ -301,7 +301,9 @@ def test_coref_natlog_python_twin_degenerate(spark):
     quant_dense = " . ".join(
         " ".join(["every", "table", "no", "merge"] * 20)
         for _ in range(10))
-    _twin_compare(spark, [giant, alternating, one_run, quant_dense])
+    all_neg = " ".join("not" for _ in range(2000))  # every token flips
+    _twin_compare(spark, [giant, alternating, one_run, quant_dense,
+                          all_neg])
 
 
 def test_coref_natlog_python_twin_hypothesis_sentenceless(spark):

@@ -50,17 +50,52 @@ def natlog_old_expr(text_col: str) -> str:
         f"flatten(transform({seq}, si -> {one}))", "c0")
 
 
+def natlog_r4_expr(text_col: str) -> str:
+    # the r4 formulation: bound negation-position array, re-FILTERED per
+    # token (O(n * #negs) — quadratic when every token is a negation);
+    # r5 replaced the per-token count with a token-aligned polarity
+    # array built once per sentence (natlog.aligned_polarity_sql)
+    oc = NL.operator_cols_sql("try_element_at(s0.ws, i)", "i",
+                              "size(s0.ws)")
+    row = (f"named_struct("
+           f"'sent_index', cast(s0.si - 1 as bigint), "
+           f"'token_index', cast(i as bigint), "
+           f"'word', try_element_at(s0.ws, i), "
+           f"'polarity', {NL.polarity_sql('s0.np', 'i', 'spark')}, "
+           f"'operator', {oc['operator']}, "
+           + ", ".join(f"'{k}', {oc[k]}" for k in NL.NATLOG_COLS[5:])
+           + ")")
+    one = _spark_let(
+        {"si": "si", "ws": "try_element_at(c0.sents, si)",
+         "np": NL.neg_positions_sql("try_element_at(c0.sents, si)",
+                                    "spark")},
+        f"transform(sequence(1, size(s0.ws)), i -> {row})", "s0")
+    seq = ("CASE WHEN size(c0.sents) = 0 THEN array() "
+           "ELSE sequence(1, size(c0.sents)) END")
+    return _spark_let(
+        {"sents": sentence_words_sql(text_col, "spark")},
+        f"flatten(transform({seq}, si -> {one}))", "c0")
+
+
 def main():
-    n_tok = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    allneg = "--allneg" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_tok = int(args[0]) if args else 10_000
+    n_docs = int(args[1]) if len(args) > 1 else 64
     spark = get_spark(app_name="probe_natlog", parallelism=32,
                       shuffle_partitions=32)
-    # every 7th token a negation → ~N/7 operators, one giant sentence
+    if allneg:
+        # EVERY token a negation: the worst case for any per-token scan
+        # of the negation array (r5 aligned-polarity probe shape)
+        word = "'not'"
+    else:
+        # every 7th token a negation → ~N/7 operators, one giant sentence
+        word = ("CASE WHEN i % 7 = 0 THEN 'not' ELSE concat('w', "
+                "cast(i % 97 as string)) END")
     docs = spark.range(n_docs).select(
         F.col("id").alias("doc_id"),
         F.expr(f"array_join(transform(sequence(1, {n_tok}), i -> "
-               f"CASE WHEN i % 7 = 0 THEN 'not' ELSE concat('w', "
-               f"cast(i % 97 as string)) END), ' ')").alias("text")) \
+               f"{word}), ' ')").alias("text")) \
         .cache()
     docs.count()
 
@@ -74,7 +109,9 @@ def main():
               f"single sentence)")
         return dt
 
-    t_new = run(NL.natlog_expr("text"), "new (bound negation positions)")
+    t_new = run(NL.natlog_expr("text"),
+                "new (aligned polarity array, r5)")
+    run(natlog_r4_expr("text"), "r4 (per-token count over bound negs)")
     t_old = run(natlog_old_expr("text"), "old (prefix slice per token)")
     diff = (docs.select("doc_id",
                         F.explode(F.expr(NL.natlog_expr("text"))).alias("a"))
