@@ -81,43 +81,99 @@ def coref_expr(text_col: str) -> str:
     """Spark expression: text -> per-doc coref array (the reference's
     coref annotation as a typed column):
     array<struct<chain_id, mention_key, label, sent_index, token_beg,
-    token_end, head_index, chain_size>>, mentions in textual order."""
+    token_end, head_index, chain_size>>, mentions in textual order.
+
+    SORT-BASED clustering, O(m log m + d) per doc (r5): the r4 form
+    computed per-key counts by filtering the mention array per distinct
+    key (O(d*m)) and looked up chain_id/chain_size per mention with
+    array_position over the key tables (O(m*d)) — quadratic on a
+    'directory page' doc where every mention is a distinct key, and on
+    a chain-dense doc. Now: sort (key, textual-index) pairs once; break
+    positions in the sorted key sequence give the distinct keys and
+    their counts (the ner.py break-array trick); a segment-repeat array
+    gives every sorted position its distinct-key RANK in O(m); a second
+    segment-repeat array gives each rank its cumulative count of
+    QUALIFYING (count >= 2) ranks — exactly the 1-based chain_id the
+    sorted qualifying-key table implies; qualifying mentions are then
+    re-sorted by textual index to restore the output order. Identical
+    output to the r4 form (tools/probe_coref.py: diff 0) and to the
+    unchanged DuckDB oracle."""
     allm = doc_mentions_spark("c0.sents")
-    # per-key counts computed ONCE over the sorted distinct keys
-    # (review r04: counting inside the per-mention emission was O(m^2)
-    # in mentions — one 10k-mention doc took 20.8 s; this O(d*m) form,
-    # d = distinct keys, runs it in <1 s and is corpus-independent)
-    counts = (f"transform(k0.dkeys, k -> "
-              f"size(filter(k0.allm, m -> m.key = k)))")
-    qkeys = (f"transform(filter(CASE WHEN size(k1.dkeys) = 0 THEN array() "
-             f"ELSE sequence(1, size(k1.dkeys)) END, i -> "
-             f"try_element_at(k1.counts, i) >= 2), i -> "
-             f"try_element_at(k1.dkeys, i))")
+    at = lambda a, i: f"try_element_at({a}, {i})"
+    # (key, textual idx), sorted by key (idx breaks ties — irrelevant,
+    # idx is unique); struct comparison is field-by-field
+    sk = (f"array_sort(transform(CASE WHEN size(a1.allm) = 0 THEN "
+          f"cast(array() as array<int>) ELSE "
+          f"sequence(1, size(a1.allm)) END, i -> named_struct("
+          f"'key', {at('a1.allm', 'i')}.key, 'idx', i)))")
+    # break positions: 1-based starts of each distinct-key run in sk
+    bs = (f"CASE WHEN size(a2.sk) = 0 THEN cast(array() as array<int>) "
+          f"ELSE filter(sequence(1, size(a2.sk)), i -> i = 1 OR "
+          f"{at('a2.sk', 'i - 1')}.key != {at('a2.sk', 'i')}.key) END")
+    nxt = (f"coalesce({at('a3.bs', 'bj + 1')}, size(a3.sk) + 1)")
+    # counts aligned with the sorted distinct keys (= the old dkeys
+    # order: sk is key-sorted, so run order == array_sort order)
+    cnts = (f"transform(CASE WHEN size(a3.bs) = 0 THEN "
+            f"cast(array() as array<int>) ELSE "
+            f"sequence(1, size(a3.bs)) END, bj -> "
+            f"({nxt}) - {at('a3.bs', 'bj')})")
+    # per-sorted-position distinct-key rank (1-based), by run segments
+    rk = (f"flatten(transform(CASE WHEN size(a3.bs) = 0 THEN "
+          f"cast(array() as array<int>) ELSE "
+          f"sequence(1, size(a3.bs)) END, bj -> "
+          f"array_repeat(bj, ({nxt}) - {at('a3.bs', 'bj')})))")
+    # ranks of qualifying keys (ascending)
+    qpos = (f"filter(CASE WHEN size(a4.cnts) = 0 THEN "
+            f"cast(array() as array<int>) ELSE "
+            f"sequence(1, size(a4.cnts)) END, bj -> "
+            f"{at('a4.cnts', 'bj')} >= 2)")
+    # cumq[r] = #{q in qpos : q <= r} for rank r in 1..#distinct —
+    # constant between qualifying ranks, so segment-repeat again:
+    # (qpos[t-1], qpos[t]) carries t-1, position qpos[t] carries t,
+    # tail after the last qualifying rank carries size(qpos)
+    qprev = (f"CASE WHEN qt = 1 THEN 0 ELSE "
+             f"{at('a5.qpos', 'qt - 1')} END")
+    cumq = (f"concat(flatten(transform(CASE WHEN size(a5.qpos) = 0 THEN "
+            f"cast(array() as array<int>) ELSE "
+            f"sequence(1, size(a5.qpos)) END, qt -> concat("
+            f"array_repeat(qt - 1, {at('a5.qpos', 'qt')} - ({qprev}) - 1),"
+            f" array(qt)))), "
+            f"array_repeat(size(a5.qpos), size(a5.cnts) - "
+            f"coalesce({at('a5.qpos', '-1')}, 0)))")
+    # qualifying sorted positions -> (textual idx, finished row), then
+    # re-sort by idx (unique, compared first) to restore textual order
+    m_at = f"{at('a6.allm', at('a6.sk', 'p') + '.idx')}"
     row = (f"named_struct("
-           f"'chain_id', array_position(k2.qkeys, m.key), "
-           f"'mention_key', m.key, 'label', m.label, "
-           f"'sent_index', cast(m.sent_index as bigint), "
-           f"'token_beg', cast(m.tok_beg + 1 as bigint), "
-           f"'token_end', cast(m.tok_end + 1 as bigint), "
-           f"'head_index', cast(m.tok_end as bigint), "
-           f"'chain_size', cast(try_element_at(k2.counts, "
-           f"cast(array_position(k2.dkeys, m.key) as int)) as bigint))")
-    body = (f"transform(filter(k2.allm, m -> "
-            f"array_contains(k2.qkeys, m.key)), m -> {row})")
-    l_k2 = _spark_let(
-        {"allm": "k1.allm", "dkeys": "k1.dkeys", "counts": "k1.counts",
-         "qkeys": qkeys}, body, "k2")
-    l_k1 = _spark_let(
-        {"allm": "k0.allm", "dkeys": "k0.dkeys", "counts": counts},
-        l_k2, "k1")
-    l_k0 = _spark_let(
-        {"allm": "y.allm",
-         "dkeys": "array_sort(array_distinct("
-                  "transform(y.allm, m -> m.key)))"},
-        l_k1, "k0")
-    l_y = _spark_let({"allm": allm}, l_k0, "y")
+           f"'chain_id', cast({at('a6.cumq', at('a6.rk', 'p'))} "
+           f"as bigint), "
+           f"'mention_key', {m_at}.key, 'label', {m_at}.label, "
+           f"'sent_index', cast({m_at}.sent_index as bigint), "
+           f"'token_beg', cast({m_at}.tok_beg + 1 as bigint), "
+           f"'token_end', cast({m_at}.tok_end + 1 as bigint), "
+           f"'head_index', cast({m_at}.tok_end as bigint), "
+           f"'chain_size', cast({at('a6.cnts', at('a6.rk', 'p'))} "
+           f"as bigint))")
+    body = (f"transform(array_sort(transform(filter("
+            f"CASE WHEN size(a6.sk) = 0 THEN cast(array() as array<int>) "
+            f"ELSE sequence(1, size(a6.sk)) END, p -> "
+            f"{at('a6.cnts', at('a6.rk', 'p'))} >= 2), p -> "
+            f"named_struct('oidx', {at('a6.sk', 'p')}.idx, "
+            f"'row', {row}))), e -> e.row)")
+    l_a6 = _spark_let(
+        {"allm": "a5.allm", "sk": "a5.sk", "rk": "a5.rk",
+         "cnts": "a5.cnts", "cumq": cumq}, body, "a6")
+    l_a5 = _spark_let(
+        {"allm": "a4.allm", "sk": "a4.sk", "rk": "a4.rk",
+         "cnts": "a4.cnts", "qpos": qpos}, l_a6, "a5")
+    l_a4 = _spark_let(
+        {"allm": "a3.allm", "sk": "a3.sk", "rk": rk, "cnts": cnts},
+        l_a5, "a4")
+    l_a3 = _spark_let(
+        {"allm": "a2.allm", "sk": "a2.sk", "bs": bs}, l_a4, "a3")
+    l_a2 = _spark_let({"allm": "a1.allm", "sk": sk}, l_a3, "a2")
+    l_a1 = _spark_let({"allm": allm}, l_a2, "a1")
     return _spark_let({"sents": sentence_words_sql(text_col, "spark")},
-                      l_y, "c0")
+                      l_a1, "c0")
 
 
 def add_coref(df: DataFrame, text_col: str = "text",
