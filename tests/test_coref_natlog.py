@@ -323,3 +323,23 @@ def test_coref_natlog_python_twin_hypothesis_sentenceless(spark):
         _twin_compare(spark, [text, " . ".join(parts)])
 
     check()
+
+
+def test_aligned_polarity_segments(spark):
+    # direct pin of the r5 aligned-polarity array: no negations,
+    # negation first, negation last, all negations, empty sentence
+    from clj_nlp_parse_spark.operators.natlog import aligned_polarity_sql
+
+    def arr(np_lit, n):
+        return spark.sql(
+            f"SELECT {aligned_polarity_sql(np_lit, str(n))} AS a"
+        ).collect()[0].a
+
+    assert arr("cast(array() as array<int>)", 3) == ["up"] * 3
+    # neg at position 1: token 1 itself is 'up' (strictly before), rest down
+    assert arr("array(1)", 4) == ["up", "down", "down", "down"]
+    # neg at the last position flips nothing visible
+    assert arr("array(4)", 4) == ["up", "up", "up", "up"]
+    # all four tokens negations: parity alternates
+    assert arr("array(1,2,3,4)", 4) == ["up", "down", "up", "down"]
+    assert arr("cast(array() as array<int>)", 0) == []

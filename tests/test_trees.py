@@ -158,3 +158,29 @@ def test_parse_tree_is_pure_projection(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_chunk_pos_index_modes(spark):
+    # direct pin of the r5 token-aligned chunk-index arrays: adjacent
+    # chunks (no gap), chunk at position 0, chunk ending at n, single
+    # tokens between chunks, and the empty chunk array
+    from pyspark.sql import functions as F
+    from clj_nlp_parse_spark.operators.trees import _chunk_pos_index_sql
+
+    # tokens 1..8 (0-based positions 0..7); chunks: [0,2) [2,3) [5,7)
+    ch = ("array(named_struct('label','NP','beg',0,'fin',2),"
+          "named_struct('label','VP','beg',2,'fin',3),"
+          "named_struct('label','NP','beg',5,'fin',7))")
+    row = spark.sql(
+        f"SELECT {_chunk_pos_index_sql(ch, '8', 'member')} AS member, "
+        f"{_chunk_pos_index_sql(ch, '8', 'start')} AS start, "
+        f"{_chunk_pos_index_sql(ch, '8', 'end')} AS fin, "
+        f"""{_chunk_pos_index_sql(
+            "cast(array() as array<struct<label:string,beg:int,fin:int>>)",
+            '3', 'member')} AS empty"""
+    ).collect()[0]
+    # 1-based token i covers 0-based position i-1
+    assert row.member == [1, 1, 2, None, None, 3, 3, None]
+    assert row.start == [1, None, 2, None, None, 3, None, None]
+    assert row.fin == [None, 1, 2, None, None, None, 3, None]
+    assert row.empty == []
