@@ -358,6 +358,15 @@ def test_tree_python_twin_three_way(spark):
     docs = [(i, " ".join(rnd.choice(vocab)
                          for _ in range(rnd.randint(0, 15))))
             for i in range(150)]
+    # r5 degenerate shapes for the aligned chunk-index arrays: every
+    # other token opens a chunk; adjacent NP/VP runs with no gap; chunk
+    # at position 0 and chunk ending exactly at n
+    docs += [
+        (1001, " ".join("table" if i % 2 == 0 else "and"
+                        for i in range(400))),
+        (1002, " ".join(["table runs"] * 120)),      # NP|VP adjacent
+        (1003, "table and table"), (1004, "and table and"),
+    ]
     sdf = spark.createDataFrame(docs, "doc_id long, text string")
     rows = TR.with_tree(sdf).select("doc_id", "tree_ser", "dep_edges") \
         .collect()
