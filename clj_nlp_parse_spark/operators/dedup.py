@@ -535,3 +535,96 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, n: int = 5,
                         F.coalesce(F.col("__c"), F.lit(False)))
             .withColumn("keep", ~F.col("contaminated"))
             .select(id_col, "contaminated", "keep"))
+
+
+# ------------------------------------------------------------ Python twins
+# INDEPENDENT pure-Python implementations of the signature chain (hashlib
+# md5 + re — no SQL rendering in either dialect), the third comparator for
+# the dedup surface per the trees.tree_ser_py / dialect.pos_py pattern:
+# the Spark operators and the DuckDB oracles both render from the *_sql
+# builders above, so agreement between them proves cross-engine execution
+# parity but not independent specification; agreement with THESE functions
+# does. Parity is fuzz-asserted in tests/test_fuzz_parity.py.
+
+import hashlib as _hashlib
+import re as _re
+
+_TOKEN_RE_PY = None
+
+
+def _tokens_py(text: str | None) -> list[str]:
+    """Twin of dialect.tokens_expr: lowercase word tokens, NULL ≡ empty."""
+    global _TOKEN_RE_PY
+    if _TOKEN_RE_PY is None:
+        _TOKEN_RE_PY = _re.compile(dialect.TOKEN_RE)
+    return _TOKEN_RE_PY.findall((text or "").lower())
+
+
+def h31_py(s: str) -> int:
+    """Twin of h31_sql / dialect.hash32_expr % MOD: first 8 md5 hex chars
+    of the UTF-8 bytes → int, mod 2^31-1."""
+    return int(_hashlib.md5(s.encode("utf-8")).hexdigest()[:8],
+               16) % MINHASH_MOD
+
+
+def _shingles_py(words: list[str], n: int) -> list[str]:
+    if len(words) < n:
+        return []
+    seen, out = set(), []
+    for i in range(len(words) - n + 1):
+        s = " ".join(words[i:i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def minhash_sig_py(text: str | None, n: int = 3) -> list[int]:
+    """Twin of minhash_signatures for one document: K min-hash values
+    (MINHASH_MOD sentinel when the doc has no n-shingle)."""
+    hs = [h31_py(s) for s in _shingles_py(_tokens_py(text), n)]
+    if not hs:
+        return [MINHASH_MOD] * MINHASH_K
+    return [min((a * h + b) % MINHASH_MOD for h in hs)
+            for a, b in zip(MINHASH_A, MINHASH_B)]
+
+
+def band_hashes_py(sig: list[int]) -> list[int]:
+    """Twin of band_hash_sql over a full K-signature: one 32-bit bucket
+    hash per LSH band (full hash32, NOT mod 2^31-1)."""
+    out = []
+    for band in range(LSH_BANDS):
+        lo = band * LSH_ROWS
+        joined = ",".join(str(v) for v in sig[lo:lo + LSH_ROWS])
+        out.append(int(_hashlib.md5(joined.encode("utf-8"))
+                       .hexdigest()[:8], 16))
+    return out
+
+
+def lsh_pairs_py(docs: list[tuple], n: int = 3) -> set[tuple]:
+    """Twin of lsh_candidate_pairs over [(id, text)]: distinct (a < b) id
+    pairs sharing any (band, bucket)."""
+    buckets: dict[tuple, list] = {}
+    for doc_id, text in docs:
+        for band, bh in enumerate(band_hashes_py(minhash_sig_py(text, n))):
+            buckets.setdefault((band, bh), []).append(doc_id)
+    pairs = set()
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] != ids[j]:
+                    pairs.add((ids[i], ids[j]))
+    return pairs
+
+
+def simhash_py(text: str | None, bits: int = 32) -> int:
+    """Twin of the simhash operator: bit k set iff the signed occurrence
+    sum (±1 by bit k of each word-occurrence h31) is > 0."""
+    hs = [h31_py(w) for w in _tokens_py(text)]
+    out = 0
+    for k in range(bits):
+        s = sum(1 if (h >> k) & 1 else -1 for h in hs)
+        if s > 0:
+            out |= 1 << k
+    return out

@@ -153,3 +153,37 @@ def cm_sql(value_from: str, items_from: str, item_expr: str,
     SELECT p.item AS {item_expr}, CAST(min(coalesce(s.c, 0)) AS BIGINT) AS est
     FROM probes p LEFT JOIN sketch s ON p.r = s.r AND p.b = s.b
     GROUP BY p.item"""
+
+
+# ------------------------------------------------------------ Python twins
+# INDEPENDENT pure-Python sketch implementations (hashlib via dedup.h31_py,
+# no SQL rendering) — the third comparator beyond the Spark/DuckDB dialect
+# pair, fuzz-asserted in tests/test_fuzz_parity.py. Same rationale as
+# dedup.minhash_sig_py: the *_sql builders feed both engines, so only a
+# rendering-free twin evidences independent specification.
+
+from clj_nlp_parse_spark.operators.dedup import h31_py  # noqa: E402
+
+
+def kmv_py(values: list, k: int = 64) -> tuple[int, float]:
+    """Twin of kmv_distinct for one group: (n_seen, n_est) over the
+    distinct h31 hashes of the non-null values' string forms."""
+    hs = sorted({h31_py(str(v)) for v in values if v is not None})[:k]
+    n_seen = len(hs)
+    if n_seen < k:
+        return n_seen, float(n_seen)
+    return n_seen, (k - 1) * float(MINHASH_MOD) / float(hs[-1])
+
+
+def cm_estimates_py(values: list, items: list,
+                    d: int = CM_D, w: int = CM_W) -> dict:
+    """Twin of cm_sketch + cm_point_estimates: {item: estimate} with the
+    min-over-rows rule and 0 for never-inserted cells."""
+    cells: dict[tuple, int] = {}
+    for v in values:
+        for r in range(d):
+            key = (r, h31_py(f"{r}:{v}") % w)
+            cells[key] = cells.get(key, 0) + 1
+    return {it: min(cells.get((r, h31_py(f"{r}:{it}") % w), 0)
+                    for r in range(d))
+            for it in items}

@@ -381,3 +381,82 @@ def test_tree_python_twin_three_way(spark):
         assert got_dep == sorted(TR.dep_edges_py(words)), (r.doc_id, words)
         n_nonempty += bool(words)
     assert n_nonempty > 100
+
+
+def test_signature_python_twin_three_way(spark):
+    """minhash_sig_py / band_hashes_py / simhash_py / lsh_pairs_py are
+    INDEPENDENT hashlib+re implementations of the whole signature chain —
+    the Spark operators must agree bit-exactly on random docs (plus the
+    empty/NULL/punct/short-doc pathologies), giving the dedup surface a
+    third comparator beyond the dialect-paired SQL (same pattern as
+    trees.tree_ser_py)."""
+    from clj_nlp_parse_spark.operators import dedup as D
+
+    rnd = random.Random(47)
+    vocab = _random_tokens(40, seed=11) + ["the", "a", "fox", "dog'",
+                                           "0", "and", "of"]
+    docs = [(i, " ".join(rnd.choice(vocab)
+                         for _ in range(rnd.randint(0, 20))))
+            for i in range(140)]
+    # pathologies: empty, NULL, punct-only, sub-shingle length, repeated
+    # shingles, byte-identical pair (must LSH-pair with itself)
+    docs += [(900, ""), (901, None), (902, "?!—"), (903, "one two"),
+             (904, " ".join(["x y z"] * 30)),
+             (905, "same doc twin alpha beta gamma delta"),
+             (906, "same doc twin alpha beta gamma delta")]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    text_of = dict(docs)
+
+    sig_rows = D.minhash_signatures(sdf).collect()
+    assert len(sig_rows) == len(docs)
+    for r in sig_rows:
+        want = D.minhash_sig_py(text_of[r.doc_id])
+        got = [r[f"mh_{i}"] for i in range(D.MINHASH_K)]
+        assert got == want, (r.doc_id, got, want)
+
+    sh_rows = D.simhash(sdf).collect()
+    for r in sh_rows:
+        assert r.simhash == D.simhash_py(text_of[r.doc_id]), r.doc_id
+
+    got_pairs = {(r.doc_a, r.doc_b)
+                 for r in D.lsh_candidate_pairs(sdf).collect()}
+    want_pairs = D.lsh_pairs_py(docs)
+    assert got_pairs == want_pairs
+    assert (905, 906) in got_pairs  # non-vacuous: identical docs pair
+
+
+def test_sketch_python_twin_three_way(spark):
+    """kmv_py / cm_estimates_py vs the Spark KMV and Count-Min operators:
+    bit-exact n_seen / buckets / estimates, allclose on the one float
+    (n_est), over random groups crossing the k boundary both ways."""
+    import math
+
+    from clj_nlp_parse_spark.operators import sketches as S
+
+    rnd = random.Random(53)
+    rows, by_group = [], {}
+    for g, n_vals in [("tiny", 3), ("under_k", 30), ("at_k", 64),
+                      ("over_k", 300), ("dups", 120)]:
+        vals = [f"v{rnd.randrange(40 if g == 'dups' else 10**9)}"
+                for _ in range(n_vals)]
+        if g == "tiny":
+            vals += [None, None]
+        by_group[g] = vals
+        rows += [(g, v) for v in vals]
+    sdf = spark.createDataFrame(rows, "g string, v string")
+
+    for r in S.kmv_distinct(sdf, ["g"], "v", k=64).collect():
+        n_seen, n_est = S.kmv_py(by_group[r.g], k=64)
+        assert r.n_seen == n_seen, r.g
+        assert math.isclose(r.n_est, n_est, rel_tol=1e-12), r.g
+
+    values = [v for v in by_group["dups"] + by_group["under_k"]]
+    items = sorted(set(values))[:25] + ["never_inserted"]
+    vals_df = spark.createDataFrame([(v,) for v in values], "v string")
+    items_df = spark.createDataFrame([(i,) for i in items], "item string")
+    sk = S.cm_sketch(vals_df, "v")
+    got = {r.item: r.est
+           for r in S.cm_point_estimates(sk, items_df).collect()}
+    want = S.cm_estimates_py(values, items)
+    assert got == want
+    assert got["never_inserted"] == 0  # non-vacuous: absent-item rule
