@@ -628,3 +628,47 @@ def simhash_py(text: str | None, bits: int = 32) -> int:
         if s > 0:
             out |= 1 << k
     return out
+
+
+def jaccard_pairs_py(docs: list[tuple], threshold: float = 0.5,
+                     n: int = 3) -> dict[tuple, float]:
+    """Twin of ngram_jaccard_pairs / ngram_jaccard_pairs_prefix over
+    [(id, text)]: {(a < b): jaccard} for every pair meeting the threshold.
+    All-pairs O(m²) — the SPECIFICATION, against which the prefix-filter
+    scale path's zero-false-negative claim is independently checked."""
+    sh = {i: set(_shingles_py(_tokens_py(t), n)) for i, t in docs}
+    ids = sorted(sh)
+    out = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            if not sh[a] or not sh[b]:
+                continue  # shingle-less docs never pair (no index rows)
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a]) + len(sh[b]) - inter
+            j = inter / union
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def dedup_groups_py(docs: list[tuple], threshold: float = 0.5,
+                    n: int = 3) -> dict:
+    """Twin of dedup_groups over [(id, text)]: {id: (component, keep)} via
+    union-find over the all-pairs Jaccard edges — no Spark, no SQL, no
+    collapse/prefix/CC machinery, so agreement checks the ENTIRE pipeline
+    (collapse_exact star edges + prefix filtering + pointer-jumping CC +
+    keep_list) against the plain mathematical definition."""
+    parent = {i: i for i, _ in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in jaccard_pairs_py(docs, threshold, n):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: (find(i), find(i) == i) for i, _ in docs}

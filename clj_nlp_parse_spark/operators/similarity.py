@@ -362,3 +362,32 @@ def cosine_dedup_pairs_banded(vectors: DataFrame, threshold: float,
                       F.expr(cosine_sql("__va", "__vb", "spark"))
                       .alias("cosine")))
     return scored.where(F.col("cosine") >= threshold)
+
+
+# ------------------------------------------------------------ Python twins
+def topk_py(vectors: list[tuple], queries: list[tuple], k: int) -> list:
+    """Twin of brute_force_topk over [(vec_id, [float32])] /
+    [(qid, [float32])]: (qid, vec_id, cosine, rank) rows, bit-exact —
+    the dot fold is the same left-associative sequential double
+    accumulation as the Spark/DuckDB renderings (cast each float32
+    element to double, multiply, add left-to-right), so cosine and
+    therefore the (-cosine, vec_id) ranking agree to the last ulp.
+    Pure Python per the dedup.minhash_sig_py independence rationale."""
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    import math
+    out = []
+    for qid, qv in queries:
+        scored = []
+        for vid, ev in vectors:
+            na, nb = math.sqrt(dot(qv, qv)), math.sqrt(dot(ev, ev))
+            denom = 1.0 if (na == 0.0 or nb == 0.0) else na * nb
+            scored.append((vid, dot(qv, ev) / denom))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        out += [(qid, vid, c, r + 1)
+                for r, (vid, c) in enumerate(scored[:k])]
+    return out

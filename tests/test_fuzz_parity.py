@@ -460,3 +460,77 @@ def test_sketch_python_twin_three_way(spark):
     want = S.cm_estimates_py(values, items)
     assert got == want
     assert got["never_inserted"] == 0  # non-vacuous: absent-item rule
+
+
+def test_dedup_groups_python_twin(spark):
+    """dedup_groups_py is the plain mathematical definition (all-pairs
+    Jaccard + union-find) with no Spark, SQL, collapse, prefix-filter, or
+    CC machinery — the full Spark pipeline must reproduce it exactly on
+    random corpora with identical-text clusters, near-dup chains, and the
+    empty/NULL/short-doc pathologies. Also pins the prefix path's
+    zero-false-negative claim against jaccard_pairs_py."""
+    from clj_nlp_parse_spark.operators import dedup as D
+
+    rnd = random.Random(59)
+    vocab = _random_tokens(25, seed=13)[:18] + ["a", "b", "c", "d", "e"]
+    docs = []
+    for i in range(90):
+        docs.append((i, " ".join(rnd.choice(vocab)
+                                 for _ in range(rnd.randint(0, 14)))))
+    # identical-text cluster (collapse_exact star path), a near-dup CHAIN
+    # a~b~c where a and c need transitivity, empties and NULLs
+    docs += [(200, "alpha beta gamma delta epsilon")] * 1
+    docs += [(201, "alpha beta gamma delta epsilon"),
+             (202, "alpha beta gamma delta epsilon"),
+             (210, "one two three four five six seven eight"),
+             (211, "one two three four five six seven nine"),
+             (212, "zero two three four five six seven nine"),
+             (220, ""), (221, ""), (222, None), (223, "xy")]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got_pairs = {(r.doc_a, r.doc_b): r.jaccard
+                 for r in D.ngram_jaccard_pairs_prefix(sdf, 0.5).collect()}
+    want_pairs = D.jaccard_pairs_py(docs, 0.5)
+    assert set(got_pairs) == set(want_pairs)
+    for p, j in want_pairs.items():
+        assert abs(got_pairs[p] - j) < 1e-12, p
+
+    got = {r.doc_id: (r.component, r.keep)
+           for r in D.dedup_groups(sdf, 0.5).collect()}
+    want = D.dedup_groups_py(docs, 0.5)
+    assert got == want
+    # non-vacuous: the identical cluster collapsed, the chain is one
+    # component via transitivity, identical empties stayed singletons
+    assert got[201] == (200, False) and got[202] == (200, False)
+    assert got[210][0] == got[211][0] == got[212][0] == 210
+    assert got[220] == (220, True) and got[221] == (221, True)
+
+
+def test_brute_force_topk_python_twin(spark):
+    """topk_py reproduces brute_force_topk bit-exactly: the Spark dot fold
+    is a left-associative sequential double accumulation, so a plain
+    Python loop over the same float32→double casts agrees to the last
+    ulp — ranking, ids, AND cosine values (exact ==)."""
+    import numpy as np
+
+    from clj_nlp_parse_spark.operators import similarity as S
+
+    rng = np.random.Generator(np.random.Philox(key=np.uint64(61)))
+    dim = 24
+    vecs = [(i, [float(v) for v in
+                 rng.normal(size=dim).astype(np.float32)])
+            for i in range(60)]
+    vecs += [(100, [0.0] * dim)]          # zero vector → denom guard
+    qs = [(j, [float(v) for v in rng.normal(size=dim).astype(np.float32)])
+          for j in range(5)]
+    qs += [(50, [0.0] * dim)]
+    vdf = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(qs, "qid long, qvec array<float>")
+
+    got = sorted((r.qid, r.vec_id, r.cosine, r.rank)
+                 for r in S.brute_force_topk(vdf, qdf, 7).collect())
+    want = sorted(S.topk_py(vecs, qs, 7))
+    assert [(g[0], g[1], g[3]) for g in got] \
+        == [(w[0], w[1], w[3]) for w in want]
+    assert all(g[2] == w[2] for g, w in zip(got, want)), \
+        max(abs(g[2] - w[2]) for g, w in zip(got, want))
