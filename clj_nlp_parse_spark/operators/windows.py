@@ -70,3 +70,84 @@ def backfill(df: DataFrame, value_col: str,
         Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(out_col or f"{value_col}_filled",
                          F.last(value_col, ignorenulls=True).over(w))
+
+
+# ------------------------------------------------------------ Python twins
+# INDEPENDENT pure-Python restatements of the windowed semantics (sorted
+# lists, no Window specs, no SQL) — the third comparator for the
+# north_rule's windowed operators, matching the as-of engine's pandas
+# merge_asof third oracle; fuzz-asserted in tests/test_fuzz_parity.py.
+
+def _sorted_rows(rows: list[dict], entity: str, ts: str,
+                 tiebreak: str | None) -> dict[object, list[dict]]:
+    groups: dict[object, list[dict]] = {}
+    for r in rows:
+        groups.setdefault(r[entity], []).append(r)
+    for g in groups.values():
+        g.sort(key=(lambda r: (r[ts], r[tiebreak])) if tiebreak
+               else (lambda r: r[ts]))
+    return groups
+
+
+def lag_lead_py(rows: list[dict], cols: dict[str, int],
+                entity: str = "user_id", ts: str = "ts",
+                tiebreak: str | None = "event_id") -> list[dict]:
+    """Twin of with_lag_lead: index arithmetic on the per-entity sort."""
+    out = []
+    for g in _sorted_rows(rows, entity, ts, tiebreak).values():
+        for i, r in enumerate(g):
+            r = dict(r)
+            for c, off in cols.items():
+                if off >= 0:
+                    r[f"{c}_lag{off}"] = g[i - off][c] if i - off >= 0 \
+                        else None
+                else:
+                    r[f"{c}_lead{-off}"] = g[i - off][c] \
+                        if i - off < len(g) else None
+            out.append(r)
+    return out
+
+
+def sessionize_py(rows: list[dict], gap_seconds: int,
+                  entity: str = "user_id", ts: str = "ts",
+                  tiebreak: str | None = "event_id",
+                  session_col: str = "session_id") -> list[dict]:
+    """Twin of sessionize: a session breaks when the millisecond delta to
+    the previous event STRICTLY exceeds the gap (boundary-exact)."""
+    out = []
+    for g in _sorted_rows(rows, entity, ts, tiebreak).values():
+        sid = -1
+        prev = None
+        for r in g:
+            # naive datetimes are UTC (the engine pins a UTC session TZ),
+            # so the twin must not consult the host timezone
+            dt = r[ts]
+            if dt.tzinfo is None:
+                from datetime import timezone as _tz
+                dt = dt.replace(tzinfo=_tz.utc)
+            t = int(dt.timestamp() * 1000)
+            if prev is None or t - prev > gap_seconds * 1000:
+                sid += 1
+            prev = t
+            r = dict(r)
+            r[session_col] = sid
+            out.append(r)
+    return out
+
+
+def backfill_py(rows: list[dict], value_col: str,
+                entity: str = "user_id", ts: str = "ts",
+                tiebreak: str | None = "event_id",
+                out_col: str | None = None) -> list[dict]:
+    """Twin of backfill: carry the last non-null value forward, never
+    backward — the zero-leakage direction by construction."""
+    out = []
+    for g in _sorted_rows(rows, entity, ts, tiebreak).values():
+        carried = None
+        for r in g:
+            if r[value_col] is not None:
+                carried = r[value_col]
+            r = dict(r)
+            r[out_col or f"{value_col}_filled"] = carried
+            out.append(r)
+    return out

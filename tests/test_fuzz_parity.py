@@ -534,3 +534,59 @@ def test_brute_force_topk_python_twin(spark):
         == [(w[0], w[1], w[3]) for w in want]
     assert all(g[2] == w[2] for g, w in zip(got, want)), \
         max(abs(g[2] - w[2]) for g, w in zip(got, want))
+
+
+def test_windowed_ops_python_twin(spark):
+    """lag_lead_py / sessionize_py / backfill_py restate the north_rule's
+    windowed semantics as index arithmetic over sorted lists — no Window
+    specs, no SQL — and the Spark operators must agree exactly on random
+    event streams with duplicate timestamps (tiebreak order), NULL values,
+    boundary-exact gaps (delta == gap must NOT break a session), and
+    singleton entities. Third comparator per the as-of merge_asof model."""
+    from datetime import datetime, timedelta
+
+    from clj_nlp_parse_spark.operators import windows as W
+
+    rnd = random.Random(67)
+    base = datetime(2024, 3, 1)
+    rows, eid = [], 0
+    gap = 30
+    for user in range(14):
+        t = base
+        for _ in range(rnd.randint(1, 25)):
+            # deltas cross the gap both ways and hit EXACTLY gap seconds
+            t = t + timedelta(seconds=rnd.choice(
+                [0, 1, 5, gap, gap + 1, 90]))
+            rows.append({"user_id": user, "event_id": eid, "ts": t,
+                         "v": None if rnd.random() < 0.3
+                         else rnd.randint(0, 9)})
+            eid += 1
+    rows.append({"user_id": 99, "event_id": eid, "ts": base, "v": None})
+
+    sdf = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, v long")
+    key = lambda r: (r["user_id"], r["event_id"])
+
+    got = {key(r.asDict()): (r.v_lag1, r.v_lag2, r.v_lead1)
+           for r in W.with_lag_lead(sdf, {"v": 1}).transform(
+               lambda d: W.with_lag_lead(d, {"v": 2})).transform(
+               lambda d: W.with_lag_lead(d, {"v": -1})).collect()}
+    want = {key(r): (r["v_lag1"], r["v_lag2"], r["v_lead1"])
+            for r in W.lag_lead_py(
+                W.lag_lead_py(W.lag_lead_py(rows, {"v": 1}), {"v": 2}),
+                {"v": -1})}
+    assert got == want
+
+    got_s = {key(r.asDict()): r.session_id
+             for r in W.sessionize(sdf, gap).collect()}
+    want_s = {key(r): r["session_id"]
+              for r in W.sessionize_py(rows, gap)}
+    assert got_s == want_s
+    assert max(got_s.values()) >= 2  # non-vacuous: sessions actually split
+
+    got_b = {key(r.asDict()): r.v_filled
+             for r in W.backfill(sdf, "v").collect()}
+    want_b = {key(r): r["v_filled"] for r in W.backfill_py(rows, "v")}
+    assert got_b == want_b
+    assert None in got_b.values() and \
+        sum(v is not None for v in got_b.values()) > 50  # non-vacuous
