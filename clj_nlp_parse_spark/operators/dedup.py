@@ -672,3 +672,41 @@ def dedup_groups_py(docs: list[tuple], threshold: float = 0.5,
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {i: (find(i), find(i) == i) for i, _ in docs}
+
+
+def phash_pairs_py(rows: list[tuple], max_hamming: int = 2) -> dict:
+    """Twin of phash_near_dup_pairs over [(id, phash)]: the plain all-pairs
+    definition — {(a < b): hamming} for popcount of the 64-bit
+    two's-complement xor ≤ max_hamming. The banded operator must equal
+    this exactly (pigeonhole guarantees the candidate join loses
+    nothing), so agreement independently proves the banding claim."""
+    m64 = (1 << 64) - 1
+    ids = sorted(rows)
+    out = {}
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            (a, pa), (b, pb) = ids[x], ids[y]
+            h = bin((pa ^ pb) & m64).count("1")
+            if h <= max_hamming:
+                out[(a, b)] = h
+    return out
+
+
+def image_dedup_groups_py(rows: list[tuple],
+                          max_hamming: int = 2) -> dict:
+    """Twin of the image_dedup_groups decision over [(id, phash)]:
+    union-find over the all-pairs hamming edges → {id: (component, keep)}.
+    No banding, no collapse_exact, no CC machinery."""
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in phash_pairs_py(rows, max_hamming):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {i: (find(i), find(i) == i) for i, _ in rows}

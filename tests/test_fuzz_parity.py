@@ -590,3 +590,59 @@ def test_windowed_ops_python_twin(spark):
     assert got_b == want_b
     assert None in got_b.values() and \
         sum(v is not None for v in got_b.values()) > 50  # non-vacuous
+
+
+def test_phash_dedup_python_twin(spark):
+    """phash_pairs_py / image_dedup_groups_py are the quadratic
+    mathematical definition of perceptual-hash near-dup over 64-bit
+    two's-complement hamming — the banded operator (+ collapse_exact +
+    CC, the image_dedup_groups pipeline shape) must reproduce them
+    exactly on random signed 64-bit hashes with injected 1/2-bit flips,
+    byte-identical hashes, high-bit-only differences (above the banded
+    region), and the (1<<62)+1 Arrow-exactness regression value."""
+    from clj_nlp_parse_spark.operators import dedup as D
+
+    rnd = random.Random(71)
+    m64 = (1 << 64) - 1
+
+    def to_i64(u):  # reinterpret unsigned 64 as signed (Spark bigint)
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    rows, nid = [], 0
+    for _ in range(40):
+        base = rnd.getrandbits(64)
+        rows.append((nid, to_i64(base))); nid += 1
+        for flips in (1, 2, 3):        # 3-bit flip must NOT pair
+            if rnd.random() < 0.5:
+                v = base
+                for bit in rnd.sample(range(64), flips):
+                    v ^= (1 << bit)
+                rows.append((nid, to_i64(v & m64))); nid += 1
+    rows += [(nid, (1 << 62) + 1), (nid + 1, (1 << 62) + 1),
+             (nid + 2, to_i64((1 << 63) | 1)),           # negative
+             (nid + 3, to_i64((1 << 63) | 1) ^ (1 << 40)),  # high-bit diff
+             (nid + 4, 0), (nid + 5, -1)]
+    sdf = spark.createDataFrame(rows, "doc_id long, ph long")
+
+    for bits, bands in [(32, 4), (64, 8)]:
+        got = {(r.id_a, r.id_b): r.hamming
+               for r in D.phash_near_dup_pairs(
+                   sdf, max_hamming=2, phash_col="ph",
+                   bits=bits, bands=bands).collect()}
+        assert got == D.phash_pairs_py(rows, 2), (bits, bands)
+
+    reps, star = D.collapse_exact(sdf, "doc_id", F.col("ph"))
+    pairs = D.phash_near_dup_pairs(reps, max_hamming=2, phash_col="ph")
+    edges = (pairs.selectExpr("id_a as doc_a", "id_b as doc_b")
+             .unionByName(star))
+    comp = D.connected_components(edges)
+    got_g = {r.doc_id: (r.component, r.keep)
+             for r in D.keep_list(
+                 sdf.select("doc_id"), comp, "doc_id").collect()}
+    want_g = D.image_dedup_groups_py(rows)
+    assert got_g == want_g
+    # non-vacuous: identical hashes grouped, 1-bit flips grouped,
+    # at least one multi-member component exists
+    assert got_g[nid + 1] == (nid, False)
+    assert sum(1 for _, k in got_g.values() if not k) > 10
+
