@@ -112,3 +112,75 @@ class WordCountFeaturizer:
                 .withColumn("rn", F.row_number().over(w))
                 .where(F.col("rn") <= num_counts)
                 .select(id_col, "label", "score", "rn"))
+
+
+# ------------------------------------------------------------ Python twins
+# INDEPENDENT pure-Python featurizer (dict/list arithmetic, no DataFrames,
+# no SQL rendering) — third comparator for the F7-F12 word-count surface
+# beyond the moby.txt reference golden; fuzz-asserted in
+# tests/test_fuzz_parity.py. Token/POS/lemma primitives come from
+# dialect's Python twins, themselves parity-pinned against the SQL CASE
+# rules in tests/test_dialect_parity.py.
+
+import re as _re
+
+from clj_nlp_parse_spark import dialect as _dl
+from clj_nlp_parse_spark import schema as _schema
+
+
+def go_forms_py(text: str | None, form: str = "word") -> list[str]:
+    """Twin of go_word_forms_col over one text: canonical forms of the
+    go words (non-stopword, go-POS), in token order."""
+    out = []
+    for t in _re.findall(_dl.TOKEN_RE, (text or "").lower()):
+        if t in _schema.STOPWORDS:
+            continue
+        if _dl.pos_py(t) not in _schema.GO_POS_TAGS:
+            continue
+        out.append(t if form == "word" else _dl.lemma_py(t))
+    return out
+
+
+def fit_py(docs: list[tuple], words_by_label_count: int = 3,
+           form: str = "word") -> "WordCountModel":
+    """Twin of WordCountFeaturizer.fit over [(label, text)]: top-N words
+    per label by (count desc, word asc)."""
+    counts: dict[str, dict[str, int]] = {}
+    for label, text in docs:
+        for w in go_forms_py(text, form):
+            lab = counts.setdefault(label, {})
+            lab[w] = lab.get(w, 0) + 1
+    cmap = {}
+    for label, ws in counts.items():
+        top = sorted(ws.items(), key=lambda kv: (-kv[1], kv[0]))
+        cmap[label] = dict(top[:words_by_label_count])
+    totals = {lab: sum(ws.values()) for lab, ws in cmap.items()}
+    return WordCountModel(cmap, totals, form)
+
+
+def scores_py(docs: list[tuple], model: "WordCountModel") -> dict:
+    """Twin of WordCountFeaturizer.transform over [(id, text)]:
+    {id: {label: score}} with the same long-sum / double-total division."""
+    out = {}
+    for doc_id, text in docs:
+        forms = [t if model.form == "word" else _dl.lemma_py(t)
+                 for t in _re.findall(_dl.TOKEN_RE, (text or "").lower())]
+        row = {}
+        for lab in model.labels():
+            s = sum(model.counts[lab].get(t, 0) for t in forms)
+            row[lab] = float(s) / float(model.totals[lab])
+        out[doc_id] = row
+    return out
+
+
+def top_count_scores_py(docs: list[tuple], model: "WordCountModel",
+                        num_counts: int) -> list[tuple]:
+    """Twin of top_count_scores: (id, label, score, rank) rows, score > 0
+    only, ranked by (score desc, label asc)."""
+    out = []
+    for doc_id, row in scores_py(docs, model).items():
+        ranked = sorted(((lab, sc) for lab, sc in row.items() if sc > 0),
+                        key=lambda kv: (-kv[1], kv[0]))
+        out += [(doc_id, lab, sc, r + 1)
+                for r, (lab, sc) in enumerate(ranked[:num_counts])]
+    return out

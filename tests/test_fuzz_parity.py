@@ -646,3 +646,48 @@ def test_phash_dedup_python_twin(spark):
     assert got_g[nid + 1] == (nid, False)
     assert sum(1 for _, k in got_g.values() if not k) > 10
 
+
+
+def test_word_count_python_twin(spark):
+    """fit_py / scores_py / top_count_scores_py restate the F7-F12
+    featurizer as dict arithmetic — the Spark estimator must reproduce
+    the fitted model (top-N per label with the count-desc/word-asc
+    tiebreak), the wide score matrix (bit-exact division), and the
+    ranked top-count rows on random labeled corpora with ties, empty
+    docs, NULL text, and labels whose go-word set is empty."""
+    from clj_nlp_parse_spark.operators import word_count as WC
+
+    rnd = random.Random(73)
+    vocab = _random_tokens(30, seed=17)[:22] + ["fox", "dog", "run",
+                                                "the", "of", "and"]
+    docs = []
+    for i in range(80):
+        lab = rnd.choice(["news", "spam", "blog"])
+        docs.append((lab, " ".join(rnd.choice(vocab)
+                                   for _ in range(rnd.randint(0, 12)))))
+    docs += [("empty", ""), ("empty", None), ("stops", "the of and")]
+    sdf = spark.createDataFrame(docs, "label string, text string")
+
+    for form in ("word", "lemma"):
+        for n_top in (3, 7):
+            fz = WC.WordCountFeaturizer(words_by_label_count=n_top,
+                                        form=form)
+            got_m = fz.fit(sdf)
+            want_m = WC.fit_py(docs, n_top, form)
+            assert got_m.counts == want_m.counts, (form, n_top)
+            assert got_m.totals == want_m.totals, (form, n_top)
+
+    fz = WC.WordCountFeaturizer(words_by_label_count=4)
+    model = fz.fit(sdf)
+    score_docs = [(i, t) for i, (_, t) in enumerate(docs)]
+    ssdf = spark.createDataFrame(score_docs, "doc_id long, text string")
+    got = {r.doc_id: {lab: r[f"word_count_{lab}"]
+                      for lab in model.labels()}
+           for r in fz.transform(ssdf, model).collect()}
+    want = WC.scores_py(score_docs, model)
+    assert got == want  # bit-exact: same long sum, same double division
+    assert any(any(v > 0 for v in row.values()) for row in got.values())
+
+    got_top = sorted((r.doc_id, r.label, r.score, r.rn)
+                     for r in fz.top_count_scores(ssdf, model, 2).collect())
+    assert got_top == sorted(WC.top_count_scores_py(score_docs, model, 2))
