@@ -148,3 +148,69 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, id_col: str = "doc_id",
             .select(id_col, F.col("w").alias("word"), "tf",
                     F.col("df").cast("long").alias("df"), "tfidf",
                     F.col("rank").cast("int").alias("rank")))
+
+
+# ------------------------------------------------------------ Python twins
+# INDEPENDENT pure-Python restatements (re + math, no SQL rendering) —
+# third comparator for the text-analysis surface per the
+# dedup.minhash_sig_py rationale; fuzz-asserted in
+# tests/test_fuzz_parity.py. NULL contract mirrors the operators exactly:
+# tokenization coalesces NULL→'' but the raw-text columns (quality,
+# n_ws_tokens) stay NULL on NULL text.
+
+import math as _math
+import re as _re
+
+from clj_nlp_parse_spark.operators.dedup import (_shingles_py, _tokens_py,
+                                                 h31_py)
+
+
+def text_stats_py(text: str | None, n: int = 3) -> dict:
+    """Twin of text_stats for one document."""
+    words = _tokens_py(text)
+    nstop = sum(1 for w in words if w in schema.STOPWORDS)
+    stop_ratio = 0.0 if not words else float(nstop) / float(len(words))
+    out = {"lang_pred": "en" if stop_ratio > 0.08 else "unk",
+           "stop_ratio": stop_ratio}
+    if text is None:
+        out["quality"] = None
+        out["n_ws_tokens"] = None
+    else:
+        nch = len(text)
+        nal = len(_re.sub("[^a-zA-Z]", "", text))
+        len_score = min(float(nch) / 500.0, 1.0)
+        alpha = 0.0 if nch == 0 else float(nal) / float(nch)
+        nonstop = 1.0 - stop_ratio
+        out["quality"] = (len_score + alpha + nonstop) / 3.0
+        out["n_ws_tokens"] = sum(1 for x in _re.split(r"\s+", text) if x)
+    out["n_word_tokens"] = len(words)
+    out["n_bpe_tokens"] = sum(_math.ceil(len(w) / 4.0) for w in words)
+    hs = [h31_py(s) for s in _shingles_py(words, n)]
+    out["fp_min"] = min(hs) if hs else -1
+    out["fp_max"] = max(hs) if hs else -1
+    out["fp_n"] = len(hs)
+    return out
+
+
+def tfidf_top_terms_py(docs: list[tuple], k: int = 3) -> list[tuple]:
+    """Twin of tfidf_top_terms over [(id, text)]: (id, word, tf, df,
+    tfidf, rank) with the same 9-decimal round before ranking."""
+    tf: dict[tuple, int] = {}
+    dfreq: dict[str, int] = {}
+    for doc_id, text in docs:
+        words = _tokens_py(text)
+        for w in words:
+            tf[(doc_id, w)] = tf.get((doc_id, w), 0) + 1
+        for w in set(words):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    n = float(len({i for i, _ in docs}))
+    by_doc: dict = {}
+    for (doc_id, w), c in tf.items():
+        score = round(float(c) * _math.log(n / float(dfreq[w])), 9)
+        by_doc.setdefault(doc_id, []).append((w, c, dfreq[w], score))
+    out = []
+    for doc_id, terms in by_doc.items():
+        terms.sort(key=lambda t: (-t[3], t[0]))
+        out += [(doc_id, w, c, d, s, r + 1)
+                for r, (w, c, d, s) in enumerate(terms[:k])]
+    return out

@@ -691,3 +691,38 @@ def test_word_count_python_twin(spark):
     got_top = sorted((r.doc_id, r.label, r.score, r.rn)
                      for r in fz.top_count_scores(ssdf, model, 2).collect())
     assert got_top == sorted(WC.top_count_scores_py(score_docs, model, 2))
+
+
+def test_textstats_python_twin(spark):
+    """text_stats_py / tfidf_top_terms_py restate the text-analysis
+    surface in re + math — the Catalyst projections must agree exactly
+    (floats with ==: same division order, same 9-decimal TF-IDF round)
+    on random docs plus NULL text (quality/n_ws_tokens stay NULL),
+    empty, whitespace-heavy, punct-only, and no-shingle docs."""
+    from clj_nlp_parse_spark.operators import textstats as TS
+
+    rnd = random.Random(79)
+    vocab = _random_tokens(25, seed=19)[:18] + ["the", "and", "of",
+                                                "fox", "Dog", "ABC"]
+    docs = []
+    for i in range(90):
+        sep = rnd.choice([" ", "  ", " \t ", "\n"])
+        docs.append((i, sep.join(rnd.choice(vocab)
+                                 for _ in range(rnd.randint(0, 14)))))
+    docs += [(900, None), (901, ""), (902, "   "), (903, "?!—"),
+             (904, "one two"), (905, "x" * 600)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    text_of = dict(docs)
+
+    stat_cols = ["lang_pred", "quality", "stop_ratio", "n_ws_tokens",
+                 "n_word_tokens", "n_bpe_tokens", "fp_min", "fp_max",
+                 "fp_n"]
+    for r in TS.text_stats(sdf).collect():
+        want = TS.text_stats_py(text_of[r.doc_id])
+        got = {c: r[c] for c in stat_cols}
+        assert got == want, (r.doc_id, got, want)
+
+    got_tf = sorted((r.doc_id, r.word, r.tf, r.df, r.tfidf, r.rank)
+                    for r in TS.tfidf_top_terms(sdf, 3).collect())
+    assert got_tf == sorted(TS.tfidf_top_terms_py(docs, 3))
+    assert len(got_tf) > 150  # non-vacuous
