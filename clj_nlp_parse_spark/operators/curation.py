@@ -112,3 +112,57 @@ def incremental_curation(prev_out: DataFrame, prev_hashes: DataFrame,
     rec = out.select(id_col, reason.alias("reason"),
                      (reason == "admitted").alias("keep"))
     return prev_out.unionByName(rec)
+
+
+# ------------------------------------------------------------ Python twin
+# INDEPENDENT pure-Python restatement of the admission decision (re +
+# hashlib, no SQL, no windows, no joins) — third comparator per the
+# dedup.minhash_sig_py rationale; fuzz-asserted in
+# tests/test_fuzz_parity.py.
+
+import hashlib as _hashlib
+import re as _re
+
+from clj_nlp_parse_spark.operators.dedup import _shingles_py, _tokens_py
+from clj_nlp_parse_spark.operators.textstats import text_stats_py
+
+
+def curation_decide_py(train: list[tuple], ev: list[tuple],
+                       n: int = 3) -> dict:
+    """Twin of curation_decide over [(id, text)]: {id: (reason, keep)}
+    with the same first-failing gate order (not_en → low_quality →
+    too_short → exact_dup → contaminated → admitted)."""
+    ev_shingles = set()
+    for _, text in ev:
+        ev_shingles.update(_shingles_py(_tokens_py(text), n))
+
+    min_id_by_hash: dict[str, int] = {}
+    scored = {}
+    for doc_id, text in train:
+        st = text_stats_py(text)
+        h = None
+        if text is not None:
+            norm = _re.sub(r"\s+", " ", text.lower()).strip()
+            h = _hashlib.md5(norm.encode("utf-8")).hexdigest()
+            if h not in min_id_by_hash or doc_id < min_id_by_hash[h]:
+                min_id_by_hash[h] = doc_id
+        scored[doc_id] = (st, h, text)
+
+    out = {}
+    for doc_id, (st, h, text) in scored.items():
+        contaminated = any(
+            s in ev_shingles for s in _shingles_py(_tokens_py(text), n))
+        if st["lang_pred"] != "en":
+            reason = "not_en"
+        elif st["quality"] is not None and st["quality"] < 0.4:
+            reason = "low_quality"
+        elif st["n_word_tokens"] < 10:
+            reason = "too_short"
+        elif min_id_by_hash.get(h) != doc_id:
+            reason = "exact_dup"
+        elif contaminated:
+            reason = "contaminated"
+        else:
+            reason = "admitted"
+        out[doc_id] = (reason, reason == "admitted")
+    return out

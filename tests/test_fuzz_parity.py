@@ -726,3 +726,48 @@ def test_textstats_python_twin(spark):
                     for r in TS.tfidf_top_terms(sdf, 3).collect())
     assert got_tf == sorted(TS.tfidf_top_terms_py(docs, 3))
     assert len(got_tf) > 150  # non-vacuous
+
+
+def test_curation_python_twin(spark):
+    """curation_decide_py restates the admission pipeline (gates +
+    exact-dedup keep + decontamination) as dict logic — the one-plan
+    Spark composition must agree on random corpora exercising EVERY
+    reason: non-English (stopword-free) docs, low-quality short-alpha
+    docs, sub-10-word docs, duplicate texts under different whitespace
+    (the norm-hash), eval-contaminated docs, and admitted docs."""
+    from clj_nlp_parse_spark.operators import curation as CU
+
+    rnd = random.Random(83)
+    stops = ["the", "and", "of", "is", "a", "in", "to", "it"]
+    content = _random_tokens(30, seed=23)[:20] + ["fox", "dog", "run"]
+
+    def sent(n_words, stop_frac):
+        return " ".join(
+            (rnd.choice(stops) if rnd.random() < stop_frac
+             else rnd.choice(content)) for _ in range(n_words))
+
+    docs = [(i, sent(rnd.randint(0, 30), rnd.choice([0.0, 0.05, 0.3])))
+            for i in range(80)]
+    leaked = "unique leak phrase alpha beta gamma delta " + sent(8, 0.3)
+    docs += [
+        (200, "the fox and the dog run in the big field today quickly"),
+        (201, "THE  fox and the\tdog run in the big field today quickly"),
+        (202, leaked),
+        (210, None), (211, ""), (212, "the of and is a in to it bare"),
+        (213, "?!— 123"),
+    ]
+    ev = [(900, "irrelevant eval text here"), (901, leaked)]
+    tdf = spark.createDataFrame(docs, "doc_id long, text string")
+    edf = spark.createDataFrame(ev, "doc_id long, text string")
+
+    got = {r.doc_id: (r.reason, r.keep)
+           for r in CU.curation_decide(tdf, edf).collect()}
+    want = CU.curation_decide_py(docs, ev)
+    assert got == want
+    # non-vacuous: every reason appears, and the whitespace-variant dup
+    # collapsed onto the min id
+    assert {r for r, _ in got.values()} == {
+        "not_en", "low_quality", "too_short", "exact_dup",
+        "contaminated", "admitted"}
+    assert got[201] == ("exact_dup", False)
+    assert got[202] == ("contaminated", False)
