@@ -1697,6 +1697,31 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("lang", "seq_id", "doc_id"))
 
 
+def sequence_packing_py(docs: list[tuple]) -> list[tuple]:
+    """INDEPENDENT pure-Python twin of q_sequence_packing over
+    [(doc_id, lang, text)]: ONE global md5-ordered cumsum per language
+    stratum — none of the two-pass chunk/offset/broadcast machinery —
+    so agreement proves the distributed layout equals the plain
+    definition (fuzz-asserted in tests/test_fuzz_parity.py)."""
+    import hashlib
+    import re
+
+    from clj_nlp_parse_spark import dialect as _dl
+    strata: dict = {}
+    for doc_id, lang, text in docs:
+        n = len(re.findall(_dl.TOKEN_RE, (text or "").lower()))
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        strata.setdefault(lang, []).append((h, doc_id, n))
+    out = []
+    for lang, rows in strata.items():
+        rows.sort()
+        cum = 0
+        for _, doc_id, n in rows:
+            out.append((doc_id, lang, n, cum // 512, cum % 512))
+            cum += n
+    return out
+
+
 from clj_nlp_parse_spark.operators import chunking as CH
 
 # The synthetic corpus is OOV word-salad (fallback tag NN → one giant NP

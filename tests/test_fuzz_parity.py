@@ -771,3 +771,38 @@ def test_curation_python_twin(spark):
         "contaminated", "admitted"}
     assert got[201] == ("exact_dup", False)
     assert got[202] == ("contaminated", False)
+
+
+def test_sequence_packing_python_twin(spark):
+    """sequence_packing_py is one global cumsum per stratum; the Spark
+    two-pass chunked layout (derived chunk width, per-chunk offsets,
+    eqNullSafe broadcast join) must equal it exactly on a skewed corpus
+    with a 90%-hot language, a NULL-lang stratum, empty/NULL texts,
+    and the md5-prefix chunking splitting every stratum 16 ways."""
+    import unittest.mock as mock
+
+    from clj_nlp_parse_spark import queries as Q
+
+    rnd = random.Random(89)
+    vocab = _random_tokens(20, seed=29)[:15]
+    docs = []
+    for i in range(400):
+        lang = "en" if rnd.random() < 0.9 else rnd.choice(
+            ["fr", "de", None])
+        docs.append((i, lang,
+                     " ".join(rnd.choice(vocab)
+                              for _ in range(rnd.randint(0, 40)))))
+    docs += [(900, "en", ""), (901, None, None), (902, "zz", "one doc")]
+    sdf = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+
+    Q._PACK_CHUNK_HEX_CACHE.clear()
+    with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+        got = [(r.doc_id, r.lang, r.n_tokens, r.seq_id, r.seq_offset)
+               for r in Q.QUERIES["sequence_packing"](
+                   spark, "twin-fuzz").collect()]
+    Q._PACK_CHUNK_HEX_CACHE.clear()
+    assert sorted(got) == sorted(Q.sequence_packing_py(docs))
+    # non-vacuous: the hot stratum spans many sequences (so chunk
+    # offsets really compose) and the NULL stratum survived the join
+    assert max(s for _, lang, _, s, _ in got if lang == "en") > 3
+    assert any(lang is None for _, lang, _, _, _ in got)
