@@ -231,3 +231,39 @@ def tree_features(df: DataFrame, id_col: str = "doc_id",
     let = (f"try_element_at(transform(array(named_struct('ser', {ser})), "
            f"z -> cast(({h}) as bigint)), 1)")
     return df.select(F.col(id_col), F.expr(let).alias("dep_tree_id"))
+
+
+# ------------------------------------------------------------ Python twin
+# INDEPENDENT pure-Python F1 vector (re + dialect Python twins, no SQL
+# rendering) — fuzz-asserted in tests/test_fuzz_parity.py per the
+# dedup.minhash_sig_py independence rationale. The nested let-bound
+# struct above is exactly the kind of machinery a twin should check:
+# this function has none of it.
+
+import re as _re
+
+
+def pos_tag_features_py(text: str | None) -> dict:
+    """Twin of pos_tag_features for one document: the zero-filled POS
+    count/ratio vector + first/last tag with the vocab guard."""
+    from clj_nlp_parse_spark import dialect as _dl
+    words = _re.findall(_dl.TOKEN_RE, (text or "").lower())
+    tags = [_dl.pos_py(t) for t in words]
+    types = []
+    for tag in tags:
+        tp = None
+        for name, tset in schema.POS_TYPE_ORDER:
+            if tag in tset:
+                tp = name
+                break
+        types.append(tp)
+    out = {}
+    n = len(types)
+    for t in schema.POS_TAG_TYPES:
+        c = sum(1 for x in types if x == t)
+        out[f"pos_tag_count_{t}"] = c
+        out[f"pos_tag_ratio_{t}"] = 0.0 if n == 0 else float(c) / float(n)
+    for nm, ix in (("pos_first_tag", 0), ("pos_last_tag", -1)):
+        tag = tags[ix] if tags else None
+        out[nm] = tag if tag in schema.ALL_POS_TAGS else schema.NONE_LABEL
+    return out

@@ -1399,6 +1399,21 @@ _RE_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
 _RE_URL = r"https?://[^ ]+"
 
 
+def pii_scrub_py(text: str) -> tuple:
+    """INDEPENDENT pure-Python twin of the pii_scrub projection
+    (re module vs Catalyst regexp — same greedy semantics on these
+    character-class patterns): (n_emails, n_urls, scrubbed) with the
+    same count-before-redact and emails-before-urls replacement order.
+    Fuzz-asserted in tests/test_fuzz_parity.py."""
+    import re
+    n_emails = len(re.findall(_RE_EMAIL, text))
+    n_urls = len(re.findall(_RE_URL, text))
+    scrubbed = re.sub(_RE_URL, "<URL>",
+                      re.sub(_RE_EMAIL, "<EMAIL>", text))
+    return n_emails, n_urls, scrubbed
+
+
+
 @register(
     "pii_scrub",
     f"""

@@ -806,3 +806,75 @@ def test_sequence_packing_python_twin(spark):
     # offsets really compose) and the NULL stratum survived the join
     assert max(s for _, lang, _, s, _ in got if lang == "en") > 3
     assert any(lang is None for _, lang, _, _, _ in got)
+
+
+def test_pos_features_python_twin(spark):
+    """pos_tag_features_py computes the F1 vector with none of the
+    nested let-bound struct machinery — the Spark projection must agree
+    exactly (ratios with ==) on random docs plus empty/NULL/punct-only
+    docs and docs whose first/last tag falls outside the taxonomy
+    (NONE_LABEL guard)."""
+    from clj_nlp_parse_spark.operators import features as FE
+
+    rnd = random.Random(97)
+    vocab = _random_tokens(30, seed=31)[:22] + ["the", "fox", "runs",
+                                                "quickly", "which", "red"]
+    docs = [(i, " ".join(rnd.choice(vocab)
+                         for _ in range(rnd.randint(0, 16))))
+            for i in range(120)]
+    docs += [(900, ""), (901, None), (902, "?!—"), (903, "which"),
+             (904, "the")]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    text_of = dict(docs)
+
+    rows = FE.pos_tag_features(sdf).collect()
+    assert len(rows) == len(docs)
+    n_tagged = 0
+    for r in rows:
+        want = FE.pos_tag_features_py(text_of[r.doc_id])
+        got = {k: r[k] for k in want}
+        assert got == want, (r.doc_id, got, want)
+        n_tagged += want["pos_first_tag"] != "<none>"
+    assert n_tagged > 80  # non-vacuous
+
+
+def test_pii_scrub_python_twin(spark):
+    """pii_scrub_py replays the scrub projection through Python re —
+    counts before redaction, emails replaced before URLs — and the
+    Catalyst regexp pipeline must agree exactly on random docs mixing
+    emails, URLs (including URLs containing @ and emails at string
+    edges), multiple hits per doc, and hit-free text."""
+    from clj_nlp_parse_spark import queries as Q
+
+    rnd = random.Random(101)
+    fillers = ["plain words here", "x", "", "end.", "tab\tsep"]
+    emails = ["a.b%c@mail-host.example.com", "z9@q.io", "u+tag@a.b.co"]
+    urls = ["https://example.com/p?q=1", "http://h.io/a@b",
+            "https://x.y/z#frag,semi;"]
+    docs = []
+    for i in range(120):
+        parts = []
+        for _ in range(rnd.randint(0, 6)):
+            parts.append(rnd.choice(fillers + emails + urls))
+        docs.append((i, " ".join(parts)))
+    docs += [(900, emails[0]), (901, urls[0]),
+             (902, f"{emails[1]} {urls[1]} {emails[2]}"),
+             (903, "no hits at all")]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    text_of = dict(docs)
+
+    got = (sdf.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(Q._RE_EMAIL), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(Q._RE_URL), F.lit(0)))
+        .cast("long").alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace("text", Q._RE_EMAIL, "<EMAIL>"),
+            Q._RE_URL, "<URL>").alias("scrubbed")).collect())
+    n_hits = 0
+    for r in got:
+        want = Q.pii_scrub_py(text_of[r.doc_id])
+        assert (r.n_emails, r.n_urls, r.scrubbed) == want, r.doc_id
+        n_hits += want[0] + want[1]
+    assert n_hits > 100  # non-vacuous
