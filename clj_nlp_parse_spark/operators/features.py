@@ -267,3 +267,52 @@ def pos_tag_features_py(text: str | None) -> dict:
         tag = tags[ix] if tags else None
         out[nm] = tag if tag in schema.ALL_POS_TAGS else schema.NONE_LABEL
     return out
+
+
+def sentiment_features_py(text: str | None) -> dict:
+    """Twin of sentiment_features (F4): [.!?]+ sentence split, per
+    sentence clamp(sum ±1 lexicon hits, -2, 2), then the six aggregate
+    columns with the operator's exact double op order (population
+    variance as sumsq/n - mean*mean)."""
+    from clj_nlp_parse_spark import dialect as _dl
+    scores = []
+    for seg in _re.split(r"[.!?]+", text or ""):
+        ws = _re.findall(_dl.TOKEN_RE, seg.lower())
+        if not ws:
+            continue
+        raw = sum(1 if w in POSITIVE_WORDS
+                  else -1 if w in NEGATIVE_WORDS else 0 for w in ws)
+        scores.append(max(-2, min(2, raw)))
+    n, s = len(scores), sum(scores)
+    mean = 0.0 if n == 0 else float(s) / float(n)
+    var = 0.0 if n == 0 else (
+        float(sum(x * x for x in scores)) / float(n)
+        - (float(s) / float(n)) * (float(s) / float(n)))
+    return {"sentiment_utterance": s,
+            "sentiment_sentence_max": max(scores) if scores else 0,
+            "sentiment_sentence_min": min(scores) if scores else 0,
+            "sentiment_sentence_sum": s,
+            "sentiment_sentence_mean": mean,
+            "sentiment_sentence_variance": var}
+
+
+def doc_stats_py(text: str | None) -> dict:
+    """Twin of token_features (F14, no mention source): the doc-level
+    stats with the operator's NULL contract (utterance_length and
+    is_question stay NULL on NULL text; counts see the coalesced '')."""
+    from clj_nlp_parse_spark import dialect as _dl
+    words = _re.findall(_dl.TOKEN_RE, (text or "").lower())
+    n_sents = sum(
+        1 for seg in _re.split(r"[.!?]+", text or "")
+        if _re.findall(_dl.TOKEN_RE, seg.lower()))
+    tc = len(words)
+    return {
+        "utterance_length": None if text is None else len(text),
+        "token_count": tc,
+        "sent_count": n_sents,
+        "mention_count": 0,
+        "token_average_length": 0.0 if tc == 0 else
+        float(sum(len(w) for w in words)) / float(tc),
+        "is_question": None if text is None
+        else text.rstrip().endswith("?"),
+    }

@@ -878,3 +878,43 @@ def test_pii_scrub_python_twin(spark):
         assert (r.n_emails, r.n_urls, r.scrubbed) == want, r.doc_id
         n_hits += want[0] + want[1]
     assert n_hits > 100  # non-vacuous
+
+
+def test_sentiment_doc_stats_python_twin(spark):
+    """sentiment_features_py / doc_stats_py restate F4 and F14 in
+    re + arithmetic — the Catalyst projections must agree exactly
+    (doubles with ==: same clamp, same sumsq/n - mean² order, same
+    division) on random multi-sentence docs with punctuation-only
+    segments, clamp-saturating sentences, NULL/empty text, and
+    trailing-whitespace questions."""
+    from clj_nlp_parse_spark.operators import features as FE
+
+    rnd = random.Random(103)
+    lex = list(FE.POSITIVE_WORDS[:6] + FE.NEGATIVE_WORDS[:6])
+    neutral = _random_tokens(20, seed=37)[:14]
+    docs = []
+    for i in range(110):
+        sents = []
+        for _ in range(rnd.randint(0, 5)):
+            sents.append(" ".join(
+                rnd.choice(lex if rnd.random() < 0.5 else neutral)
+                for _ in range(rnd.randint(0, 8))))
+        docs.append((i, rnd.choice([". ", "! ", "? ", "?! "]).join(sents)
+                     + rnd.choice(["", ".", "?", " ?  "])))
+    docs += [(900, None), (901, ""), (902, "...!?"),
+             (903, "good good good good good."),   # clamp +2
+             (904, "bad bad bad bad."),            # clamp -2
+             (905, "is this a question ?  ")]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    text_of = dict(docs)
+
+    for r in FE.sentiment_features(sdf).collect():
+        want = FE.sentiment_features_py(text_of[r.doc_id])
+        assert {k: r[k] for k in want} == want, r.doc_id
+
+    n_q = 0
+    for r in FE.token_features(sdf).collect():
+        want = FE.doc_stats_py(text_of[r.doc_id])
+        assert {k: r[k] for k in want} == want, r.doc_id
+        n_q += bool(want["is_question"])
+    assert n_q > 5  # non-vacuous
