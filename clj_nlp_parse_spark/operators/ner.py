@@ -165,3 +165,29 @@ def tag_model_mentions(df: DataFrame, text_col: str = "text") -> DataFrame:
     out = df.withColumn(
         "words", F.expr(dialect.tokens_expr(text_col, "spark")))
     return add_model_mentions(out)
+
+
+# ------------------------------------------------------------ Python twin
+# INDEPENDENT pure-Python A6 mentions (dict lookup + one linear scan, no
+# SQL, none of the aligned break/ends array machinery) — the third
+# comparator per the trees.tree_ser_py pattern; fuzz-asserted in
+# tests/test_fuzz_parity.py alongside the hand-derived goldens.
+
+def model_mentions_py(words: list[str]) -> list[tuple]:
+    """Twin of ner_mentions_sql over a token list: maximal runs of
+    consecutive identical gazetteer types as (label, item_id, tok_beg,
+    tok_end) tuples (0-based, end-exclusive)."""
+    w2t = dict(_word_to_type())
+    types = [w2t.get(w) for w in words]
+    out = []
+    i = 0
+    while i < len(types):
+        if types[i] is None:
+            i += 1
+            continue
+        j = i + 1
+        while j < len(types) and types[j] == types[i]:
+            j += 1
+        out.append((types[i], MODEL_ITEM_ID, i, j))
+        i = j
+    return out

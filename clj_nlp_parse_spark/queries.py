@@ -1538,7 +1538,9 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE rn = greatest(1, CAST(ceil(0.9 * n) AS BIGINT)))
     SELECT b.lang, n_docs, n_empty, total_tokens, avg_tokens,
            distinct_texts, p50_tokens, p90_tokens
-    FROM base b JOIN p50 USING (lang) JOIN p90 USING (lang)
+    FROM base b
+    JOIN p50 ON b.lang IS NOT DISTINCT FROM p50.lang
+    JOIN p90 ON b.lang IS NOT DISTINCT FROM p90.lang
     ORDER BY b.lang""",
 )
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1584,8 +1586,13 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("lang")
                 .agg(F.min("n_tokens").cast("long").alias(name)))
 
-    return (base.join(_pctl(0.5, "p50_tokens"), "lang")
-            .join(_pctl(0.9, "p90_tokens"), "lang")
+    # eqNullSafe (review r05): a plain equi-join silently DROPPED the
+    # NULL-lang stratum from the profile — the bug class the packing
+    # layout already guards against; twin-pinned in test_fuzz_parity
+    p50 = _pctl(0.5, "p50_tokens").withColumnRenamed("lang", "__l50")
+    p90 = _pctl(0.9, "p90_tokens").withColumnRenamed("lang", "__l90")
+    return (base.join(p50, F.col("lang").eqNullSafe(F.col("__l50")))
+            .join(p90, F.col("lang").eqNullSafe(F.col("__l90")))
             .select("lang", "n_docs", "n_empty", "total_tokens",
                     "avg_tokens", "distinct_texts", "p50_tokens",
                     "p90_tokens")
@@ -1710,6 +1717,37 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / 512).cast("long").alias("seq_id"),
         (start % 512).cast("long").alias("seq_offset"))
         .orderBy("lang", "seq_id", "doc_id"))
+
+
+def corpus_profile_py(docs: list[tuple]) -> list[tuple]:
+    """INDEPENDENT pure-Python twin of q_corpus_profile over
+    [(doc_id, lang, text)]: per-stratum counts, the same double
+    division for avg, md5 distinct texts, and nearest-rank p50/p90 by
+    direct sorted-list indexing (no histogram/cumsum machinery). The
+    NULL-lang stratum is profiled like any other (the eqNullSafe
+    contract). Fuzz-asserted in tests/test_fuzz_parity.py."""
+    import hashlib
+    import math
+    import re
+
+    from clj_nlp_parse_spark import dialect as _dl
+    strata: dict = {}
+    for _, lang, text in docs:
+        n = len(re.findall(_dl.TOKEN_RE, (text or "").lower()))
+        h = hashlib.md5(
+            (text or "").lower().strip().encode("utf-8")).hexdigest()
+        strata.setdefault(lang, []).append((n, h))
+    out = []
+    for lang, rows in strata.items():
+        ns = sorted(n for n, _ in rows)
+        total = sum(ns)
+        rank = lambda q: max(1, math.ceil(q * len(ns)))
+        out.append((lang, len(ns),
+                    sum(1 for n in ns if n == 0), total,
+                    float(total) / float(len(ns)),
+                    len({h for _, h in rows}),
+                    ns[rank(0.5) - 1], ns[rank(0.9) - 1]))
+    return out
 
 
 def sequence_packing_py(docs: list[tuple]) -> list[tuple]:

@@ -918,3 +918,74 @@ def test_sentiment_doc_stats_python_twin(spark):
         assert {k: r[k] for k in want} == want, r.doc_id
         n_q += bool(want["is_question"])
     assert n_q > 5  # non-vacuous
+
+
+def test_ner_python_twin(spark):
+    """model_mentions_py types tokens by dict lookup and merges runs in
+    one linear scan — the Spark aligned break/ends array extraction must
+    agree exactly on random docs with adjacent same-type runs,
+    alternating-type runs (every token its own break), typed tokens at
+    both document edges, and untyped/empty/NULL docs."""
+    from clj_nlp_parse_spark.operators import ner as NR
+
+    rnd = random.Random(107)
+    typed = [w for _, ws in sorted(NR.GAZETTEER.items()) for w in ws]
+    untyped = _random_tokens(15, seed=41)[:10] + ["the", "of"]
+    docs = []
+    for i in range(130):
+        pool = typed if rnd.random() < 0.3 else typed + untyped * 2
+        docs.append((i, " ".join(rnd.choice(pool)
+                                 for _ in range(rnd.randint(0, 15)))))
+    two_types = [NR.GAZETTEER[t][0] for t in sorted(NR.GAZETTEER)[:2]]
+    docs += [(900, ""), (901, None), (902, "the of the"),
+             (903, " ".join([typed[0]] * 6)),                # one long run
+             (904, " ".join(two_types * 5)),                 # alternating
+             (905, f"{typed[0]} the {typed[0]}")]            # edge runs
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    text_of = dict(docs)
+
+    n_mentions = 0
+    for r in NR.tag_model_mentions(sdf).select(
+            "doc_id", "model_mentions").collect():
+        words = dialect.TOKEN_RE_PY.findall(
+            (text_of[r.doc_id] or "").lower())
+        want = NR.model_mentions_py(words)
+        got = [(m.label, m.item_id, m.tok_beg, m.tok_end)
+               for m in r.model_mentions]
+        assert got == want, (r.doc_id, got, want)
+        n_mentions += len(got)
+    assert n_mentions > 100  # non-vacuous
+
+
+def test_corpus_profile_python_twin(spark):
+    """corpus_profile_py indexes a sorted list directly for the
+    nearest-rank percentiles — the histogram + cumsum + null-safe
+    percentile-join pipeline must agree exactly on a corpus with a
+    NULL-lang stratum (the r5 eqNullSafe fix: a plain equi-join dropped
+    it), single-doc strata, all-empty strata, and duplicate texts."""
+    import unittest.mock as mock
+
+    from clj_nlp_parse_spark import queries as Q
+
+    rnd = random.Random(109)
+    vocab = _random_tokens(15, seed=43)[:12]
+    docs = []
+    for i in range(250):
+        lang = rnd.choice(["en", "en", "en", "fr", None, "zz"])
+        docs.append((i, lang,
+                     " ".join(rnd.choice(vocab)
+                              for _ in range(rnd.randint(0, 25)))))
+    docs += [(900, "solo", "one doc stratum"),
+             (901, "mt", ""), (902, "mt", None),     # all-empty stratum
+             (903, "en", docs[0][2]), (904, None, None)]
+    sdf = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+
+    with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+        got = sorted(
+            (tuple(r) for r in
+             Q.QUERIES["corpus_profile"](spark, "twin-fuzz").collect()),
+            key=lambda t: (t[0] is None, t[0]))
+    want = sorted(Q.corpus_profile_py(docs),
+                  key=lambda t: (t[0] is None, t[0]))
+    assert got == want
+    assert any(t[0] is None for t in got)  # NULL stratum profiled
