@@ -989,3 +989,32 @@ def test_corpus_profile_python_twin(spark):
                   key=lambda t: (t[0] is None, t[0]))
     assert got == want
     assert any(t[0] is None for t in got)  # NULL stratum profiled
+
+
+def test_signature_twin_hypothesis(spark):
+    """Hypothesis-driven (shrinking) variant of the signature twin
+    comparison: arbitrary token soups — including quote-only tokens,
+    repeated shingles, and sub-shingle docs — must give bit-identical
+    MinHash signatures and SimHash values in Spark and pure Python."""
+    from hypothesis import given, settings, strategies as st
+
+    from clj_nlp_parse_spark.operators import dedup as D
+
+    token = st.sampled_from(
+        ["a", "b", "c", "aa", "x'y", "'", "0", "longtokenword", "q9"])
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.lists(token, max_size=12).map(" ".join),
+                    min_size=1, max_size=8))
+    def check(texts):
+        docs = list(enumerate(texts))
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = {r.doc_id: r for r in D.minhash_signatures(sdf).collect()}
+        sh = {r.doc_id: r.simhash for r in D.simhash(sdf).collect()}
+        for i, t in docs:
+            want = D.minhash_sig_py(t)
+            got = [rows[i][f"mh_{k}"] for k in range(D.MINHASH_K)]
+            assert got == want, (t, got, want)
+            assert sh[i] == D.simhash_py(t), t
+
+    check()
