@@ -57,6 +57,30 @@ def select_best_candidates(cands: DataFrame,
             .where(F.col("__rn") == 1).drop("__rn"))
 
 
+def select_best_candidates_py(cands: list[dict]) -> dict:
+    """INDEPENDENT pure-Python twin of O13/O14 (srl.clj:110-132), stated
+    from the reference's prose rule rather than the window-rank encoding:
+    per sentence, a short sentence (tok_count <= threshold) that has ANY
+    labeled candidate elects the FIRST labeled candidate in candidate
+    order; every other sentence elects the highest score, ties broken by
+    candidate order. Returns {sent_id: cand_id}. Shares no SQL/window
+    code with select_best_candidates; fuzz-pinned in
+    tests/test_fuzz_parity.py."""
+    by_sent: dict = {}
+    for c in cands:
+        by_sent.setdefault(c["sent_id"], []).append(c)
+    out = {}
+    for sid, cs in by_sent.items():
+        cs = sorted(cs, key=lambda c: c["cand_id"])
+        short = cs[0]["tok_count"] <= FIRST_LABEL_TOKEN_THRESHOLD
+        if short and any(c["has_label"] for c in cs):
+            best = next(c for c in cs if c["has_label"])
+        else:
+            best = min(cs, key=lambda c: (-c["score"], c["cand_id"]))
+        out[sid] = best["cand_id"]
+    return out
+
+
 def first_propbank_label(df: DataFrame, id_col: str,
                          labels_col: str) -> DataFrame:
     """O15: first non-null element of an ordered array of (nullable)

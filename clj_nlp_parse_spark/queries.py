@@ -1210,6 +1210,15 @@ def q_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang").orderBy("doc_id"))
 
 
+def consistent_sample_py(doc_ids: list[int], rate: float = 0.2) -> set[int]:
+    """INDEPENDENT pure-Python twin of the consistent-sampling decision
+    (hashlib only, no SQL rendering): doc_id is in the sample iff the
+    md5-derived 31-bit hash of its decimal string falls under
+    rate * (2^31 - 1). Fuzz-pinned in tests/test_fuzz_parity.py."""
+    thr = int(rate * 2147483647)
+    return {i for i in doc_ids if DD.h31_py(str(i)) < thr}
+
+
 @register(
     "training_corpus_filter",
     _WD_CTE + f"""
@@ -1385,6 +1394,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "doc_id"))
 
 
+def stratified_sample_py(docs: list[tuple], quota: int = 40) -> set[tuple]:
+    """INDEPENDENT pure-Python twin of the exact-quota stratified sample
+    (hashlib only): within each lang stratum (NULL is its own stratum)
+    order by (md5 hex of the decimal doc_id string, doc_id) and keep the
+    first `quota`. Returns {(doc_id, lang)}. Fuzz-pinned in
+    tests/test_fuzz_parity.py."""
+    import hashlib
+    strata: dict = {}
+    for doc_id, lang in docs:
+        strata.setdefault(lang, []).append(doc_id)
+    out = set()
+    for lang, ids in strata.items():
+        ids.sort(key=lambda i: (
+            hashlib.md5(str(i).encode()).hexdigest(), i))
+        out.update((i, lang) for i in ids[:quota])
+    return out
+
+
 # PII scrubbing — the corpus is synthetic word-salad with no PII, so the
 # query derives deterministic injections in-query (identical in both
 # dialects), then redacts them. Regexes are in the Java∩RE2 common subset.
@@ -1512,6 +1539,22 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("total_3grams").cast("double"))
                 .alias("top_3gram_frac"))
             .orderBy("doc_id"))
+
+
+def repetition_stats_py(text: str | None) -> tuple:
+    """INDEPENDENT pure-Python twin of the Gopher-style repetition
+    signals (collections.Counter, no SQL rendering): lowercase word
+    tokens, 3-grams joined by spaces, (total, distinct, dup_3gram_frac,
+    top_3gram_frac). Fuzz-pinned in tests/test_fuzz_parity.py."""
+    from collections import Counter
+    words = DD._tokens_py(text)
+    grams = [" ".join(words[i:i + 3]) for i in range(len(words) - 2)]
+    if not grams:
+        return 0, 0, 0.0, 0.0
+    c = Counter(grams)
+    total, distinct = len(grams), len(c)
+    return (total, distinct, 1.0 - distinct / total,
+            max(c.values()) / total)
 
 
 @register(

@@ -991,6 +991,99 @@ def test_corpus_profile_python_twin(spark):
     assert any(t[0] is None for t in got)  # NULL stratum profiled
 
 
+def test_sampling_repetition_python_twins(spark):
+    """consistent_sample_py / stratified_sample_py / repetition_stats_py
+    restate the three corpus-ops as hashlib/Counter logic — the Spark
+    window/filter/agg plans must agree on a corpus with quota-boundary
+    strata (39/40/41 docs), a NULL-lang stratum, NULL/empty/sub-3-token
+    texts, and an all-identical-token doc (dup_3gram_frac → 1)."""
+    import unittest.mock as mock
+
+    from clj_nlp_parse_spark import queries as Q
+
+    rnd = random.Random(97)
+    vocab = _random_tokens(25, seed=41)[:18]
+    sizes = {"en": 41, "fr": 40, "de": 39, None: 7, "zz": 1}
+    docs, i = [], 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            text = " ".join(rnd.choice(vocab)
+                            for _ in range(rnd.randint(0, 12)))
+            docs.append((i, lang, text))
+            i += 1
+    docs += [(500, "en", None), (501, "en", ""), (502, "en", "two words"),
+             (503, "en", "rep " * 60), (504, "fr", "?!— 123")]
+    sdf = spark.createDataFrame(docs, "doc_id long, lang string, text string")
+
+    with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+        cons = {r.doc_id for r in
+                Q.QUERIES["consistent_sample"](spark, "twin").collect()}
+        strat = {(r.doc_id, r.lang) for r in
+                 Q.QUERIES["stratified_sample"](spark, "twin").collect()}
+        rep = {r.doc_id: (r.total_3grams, r.distinct_3grams,
+                          r.dup_3gram_frac, r.top_3gram_frac)
+               for r in Q.QUERIES["repetition_stats"](spark, "twin")
+               .collect()}
+
+    ids = [d for d, _, _ in docs]
+    assert cons == Q.consistent_sample_py(ids)
+    assert strat == Q.stratified_sample_py([(d, l) for d, l, _ in docs])
+    for doc_id, _, text in docs:
+        assert rep[doc_id] == Q.repetition_stats_py(text), (doc_id, text)
+    # non-vacuous: quota bit on the 41-stratum, NULL stratum sampled
+    # whole, sample rate in a sane band, and the repeated doc saturates
+    assert len([1 for _, l in strat if l == "en"]) == 40
+    assert len([1 for _, l in strat if l is None]) == 7
+    assert 0.05 < len(cons) / len(ids) < 0.5
+    assert rep[503][2] > 0.95 and rep[503][3] > 0.95
+    assert rep[501] == (0, 0, 0.0, 0.0)
+
+
+def test_srl_selection_python_twin(spark):
+    """select_best_candidates_py restates srl.clj:110-132 as plain
+    group-and-pick logic; the window-rank Spark form must elect the same
+    candidate on sentences exercising every branch: short+labeled
+    (first-in-order labeled wins over higher-scored), short+unlabeled
+    (score rule), long sentences with exact score ties (candidate-order
+    tie-break), negative scores, and single-candidate sentences."""
+    from clj_nlp_parse_spark.operators import srl
+
+    rnd = random.Random(101)
+    cands = []
+    for sid in range(60):
+        tok_count = rnd.randint(1, 8)
+        n = rnd.randint(1, 6)
+        for j in range(n):
+            cands.append(dict(
+                sent_id=sid, cand_id=sid * 100 + j,
+                score=float(rnd.randint(-3, 3)),  # exact doubles → ties
+                has_label=rnd.random() < 0.4, tok_count=tok_count))
+    # forced branches: short sentence where the LOWER-scored labeled
+    # candidate must beat the higher-scored unlabeled one
+    cands += [
+        dict(sent_id=900, cand_id=1, score=9.0, has_label=False,
+             tok_count=2),
+        dict(sent_id=900, cand_id=2, score=0.5, has_label=True,
+             tok_count=2),
+        dict(sent_id=900, cand_id=3, score=8.0, has_label=True,
+             tok_count=2),
+        dict(sent_id=901, cand_id=1, score=1.0, has_label=False,
+             tok_count=3),
+        dict(sent_id=901, cand_id=2, score=2.0, has_label=False,
+             tok_count=3),
+    ]
+    sdf = spark.createDataFrame(
+        [(c["sent_id"], c["cand_id"], c["score"], c["has_label"],
+          c["tok_count"]) for c in cands],
+        "sent_id long, cand_id long, score double, has_label boolean, "
+        "tok_count int")
+    got = {r.sent_id: r.cand_id
+           for r in srl.select_best_candidates(sdf).collect()}
+    assert got == srl.select_best_candidates_py(cands)
+    # non-vacuous: the first-labeled rule really overrode the score rule
+    assert got[900] == 2 and got[901] == 2
+
+
 def test_signature_twin_hypothesis(spark):
     """Hypothesis-driven (shrinking) variant of the signature twin
     comparison: arbitrary token soups — including quote-only tokens,
