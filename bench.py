@@ -41,6 +41,7 @@ HEADLINE = [
     "parse_tree_edges", "dep_tree_edges",
     "coref_chains", "coref_features", "natlog_tokens", "natlog_features",
     "srl_tokens", "cosine_dedup_banded", "cosine_dedup_banded_derived",
+    "lm_perplexity",
     # image_feature_materialization is NOT in this loop: its REGISTERED
     # form (synth → decode → materialize-to-parquet → read-back → as-of)
     # is timed separately below as *_query, while the dedicated flagship

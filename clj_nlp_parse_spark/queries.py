@@ -1541,6 +1541,26 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def _lm_oracle() -> str:
+    from clj_nlp_parse_spark.operators import lm as LM
+    return LM.oracle_sql()
+
+
+@register("lm_perplexity", None)
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity quality scoring (CCNet-style corpus signal):
+    add-one bigram LM fit on the consistent-sample train split, every doc
+    scored in exact integer micro-nats so the per-doc aggregation is
+    shuffle-order-independent and bit-exact vs the DuckDB oracle. One
+    train scan -> localCheckpointed model table; one corpus scan ->
+    broadcast model join -> per-doc re-agg (operators/lm.py)."""
+    from clj_nlp_parse_spark.operators import lm as LM
+    return LM.fit_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+ORACLES["lm_perplexity"] = _lm_oracle()
+
+
 def repetition_stats_py(text: str | None) -> tuple:
     """INDEPENDENT pure-Python twin of the Gopher-style repetition
     signals (collections.Counter, no SQL rendering): lowercase word

@@ -1039,6 +1039,43 @@ def test_sampling_repetition_python_twins(spark):
     assert rep[501] == (0, 0, 0.0, 0.0)
 
 
+def test_lm_perplexity_python_twin(spark):
+    """lm_perplexity_py restates the bigram add-one LM as Counter +
+    math.log — the Spark fit (train-split aggs, localCheckpointed model,
+    broadcast scoring join, integer micro-nat re-agg) must agree exactly
+    on a corpus with NULL/empty/single-token docs, an all-OOV doc (every
+    term falls to the smoothing mass), a doc repeating one bigram 50
+    times, and ids landing on both sides of the train split."""
+    import unittest.mock as mock
+
+    from clj_nlp_parse_spark import queries as Q
+    from clj_nlp_parse_spark.operators import lm as LM
+
+    rnd = random.Random(113)
+    vocab = _random_tokens(20, seed=53)[:12]
+    docs = [(i, " ".join(rnd.choice(vocab)
+                         for _ in range(rnd.randint(0, 15))))
+            for i in range(120)]
+    docs += [(600, None), (601, ""), (602, "solo"),
+             (603, "zz9q zz9q " * 25),           # hot repeated bigram
+             (604, "qqa wwb eec rrd")]           # likely all-OOV tail
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+        got = {r.doc_id: (r.n_terms, r.nll_micro, r.avg_nll)
+               for r in Q.QUERIES["lm_perplexity"](spark, "twin").collect()}
+    want = LM.lm_perplexity_py(docs)
+    assert got == want
+    # non-vacuous: empty docs are NULL-avg zero-terms rows, the split
+    # really separates (some doc ids train, some don't), and scored
+    # likelihoods vary across docs
+    assert got[600] == (0, 0, None) and got[601] == (0, 0, None)
+    ids = [d for d, _ in docs]
+    split = Q.consistent_sample_py(ids, rate=LM.LM_SPLIT_RATE)
+    assert 0 < len(split) < len(ids)
+    assert len({v[2] for v in got.values() if v[2] is not None}) > 20
+
+
 def test_srl_selection_python_twin(spark):
     """select_best_candidates_py restates srl.clj:110-132 as plain
     group-and-pick logic; the window-rank Spark form must elect the same
