@@ -90,28 +90,30 @@ def bigram_terms(df: DataFrame, text_col: str = "text",
                     F.col("t.cur").alias("cur"))
 
 
-def fit_score(docs: DataFrame, text_col: str = "text",
-              id_col: str = "doc_id", split_rate: float = LM_SPLIT_RATE,
-              min_count: int = 1) -> DataFrame:
-    """Fit the bigram LM on the consistent-sample split and score EVERY
-    doc. ``min_count`` prunes the bigram table (model-size knob at
-    scale; pruned bigrams fall back to the smoothing mass). One train
-    scan + one corpus scan + one model-sized broadcast join + one
-    per-doc re-aggregation."""
-    h = dialect.hash32_expr(f"cast({id_col} as string)", "spark")
-    thr = int(split_rate * _MOD)
-    train = docs.where(F.expr(f"({h} % {_MOD})") < thr)
-
+def fit(train: DataFrame, text_col: str = "text",
+        id_col: str = "doc_id", min_count: int = 1
+        ) -> tuple[DataFrame, DataFrame, int]:
+    """Fit the add-one bigram LM on `train`: returns (c2, c1, v).
+    ``min_count`` prunes the bigram table (model-size knob at scale;
+    pruned bigrams fall back to the smoothing mass). One train scan;
+    the model table is localCheckpoint-materialized once so the eager
+    vocab count and any number of scoring jobs share it."""
     c2 = (bigram_terms(train, text_col, id_col)
           .groupBy("prev", "cur").agg(F.count("*").alias("c2")))
     if min_count > 1:
         c2 = c2.where(F.col("c2") >= min_count)
-    # materialize the model ONCE: the eager vocab count and the scoring
-    # join below must not each replay the train scan
     c2 = c2.localCheckpoint(eager=True)
     c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
     v = c2.select("cur").distinct().count() + 1  # documented eager scalar
+    return c2, c1, v
 
+
+def score_terms(docs: DataFrame, c2: DataFrame, c1: DataFrame, v: int,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-term micro-nat scores (id, prev, cur, li) — STATELESS
+    (projection + broadcast model joins), so it runs unchanged on a
+    structured stream (tests/test_streaming.py)."""
     t = bigram_terms(docs, text_col, id_col)
     j = (t.join(F.broadcast(c2), ["prev", "cur"], "left")
          .join(F.broadcast(c1), ["prev"], "left"))
@@ -119,7 +121,14 @@ def fit_score(docs: DataFrame, text_col: str = "text",
          / F.expr(f"cast(coalesce(c1, 0) + {v} as double)"))
     li = (F.floor(F.round(-F.log(p), 6) * 1000000 + F.lit(0.5))
           .cast("bigint"))
-    ag = (j.select(id_col, li.alias("li"))
+    return j.select(id_col, "prev", "cur", li.alias("li"))
+
+
+def score(docs: DataFrame, c2: DataFrame, c1: DataFrame, v: int,
+          text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc scores: exact integer micro-nat sum + count, empty docs
+    resurrected by the left join with (n_terms 0, NULL avg_nll)."""
+    ag = (score_terms(docs, c2, c1, v, text_col, id_col)
           .groupBy(id_col)
           .agg(F.sum("li").cast("long").alias("nll_micro"),
                F.count("*").cast("long").alias("n_terms")))
@@ -133,6 +142,19 @@ def fit_score(docs: DataFrame, text_col: str = "text",
                 F.when(n == 0, F.lit(None).cast("double")).otherwise(
                     F.round(F.col("nll_micro").cast("double") / 1000000.0
                             / F.col("n_terms"), 9)).alias("avg_nll")))
+
+
+def fit_score(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id", split_rate: float = LM_SPLIT_RATE,
+              min_count: int = 1) -> DataFrame:
+    """Fit on the consistent-sample split, score EVERY doc. One train
+    scan + one corpus scan + model-sized broadcast joins + one per-doc
+    re-aggregation."""
+    h = dialect.hash32_expr(f"cast({id_col} as string)", "spark")
+    thr = int(split_rate * _MOD)
+    train = docs.where(F.expr(f"({h} % {_MOD})") < thr)
+    c2, c1, v = fit(train, text_col, id_col, min_count)
+    return score(docs, c2, c1, v, text_col, id_col)
 
 
 def oracle_sql(split_rate: float = LM_SPLIT_RATE) -> str:

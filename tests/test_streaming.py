@@ -636,3 +636,35 @@ def test_streaming_srl_tokens_match_batch(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
     want = sorted(tuple(r) for r in srl_cols(docs).collect())
     assert got == want and len(got) >= 10
+
+
+def test_streaming_lm_scoring_matches_batch(spark, tmp_path):
+    # LM scoring splits into a batch-fit model (c2/c1/v) and a STATELESS
+    # per-term scorer (projection + broadcast model joins) — the scorer
+    # must run on a file-source stream unchanged and reproduce the batch
+    # per-term micro-nat rows exactly (the production shape: fit the LM
+    # offline, score the incoming crawl stream against it)
+    from clj_nlp_parse_spark.operators import lm as LM
+    train = spark.createDataFrame(
+        [(1, "the fox runs fast"), (2, "the fox sleeps"),
+         (3, "a dog runs")], "doc_id long, text string")
+    incoming = spark.createDataFrame(
+        [(10, "the fox runs"), (11, "unseen words here"),
+         (12, ""), (13, None)], "doc_id long, text string")
+    c2, c1, v = LM.fit(train)
+
+    p = str(tmp_path / "lm_docs")
+    incoming.coalesce(1).write.mode("overwrite").parquet(p)
+    sdf = spark.readStream.schema(incoming.schema).parquet(p)
+
+    sink = str(tmp_path / "lm_scores")
+    ST.run_available_now_to_parquet(
+        LM.score_terms(sdf, c2, c1, v), sink,
+        str(tmp_path / "lm_ckpt"))
+    got = sorted(tuple(r) for r in spark.read.parquet(sink).collect())
+    want = sorted(tuple(r) for r in
+                  LM.score_terms(incoming, c2, c1, v).collect())
+    assert got == want and len(got) == 6  # 3 + 3 terms; empty docs none
+    # non-vacuous: seen bigram scores below the smoothing-mass scores
+    li = {(r[1], r[2]): r[3] for r in got}
+    assert li[("<s>", "the")] < li[("unseen", "words")]
