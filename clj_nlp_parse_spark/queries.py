@@ -1394,6 +1394,138 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("lang", "doc_id"))
 
 
+_MIX_QUOTA_CTES = """
+    c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY lang),
+    s AS (SELECT lang, n,
+            CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s FROM c),
+    t AS (SELECT lang, n, s, sum(n) OVER () AS tn, sum(s) OVER () AS ts
+          FROM s),
+    q AS (SELECT lang, n, least(n, ((tn // 2) * s) // ts) AS q FROM t)"""
+
+
+@register(
+    "corpus_mix",
+    f"""
+    WITH {_MIX_QUOTA_CTES},
+    r AS (SELECT doc_id, lang,
+            row_number() OVER (PARTITION BY lang
+                               ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                        doc_id) AS rn
+          FROM documents)
+    SELECT r.doc_id, r.lang
+    FROM r JOIN q ON r.lang IS NOT DISTINCT FROM q.lang
+    WHERE r.rn <= q.q
+    ORDER BY r.lang, r.doc_id""",
+)
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (the pretraining data-mix op,
+    LLaMA/data-mixture-style): per-language quotas ∝ n^0.5 (temperature-2
+    downweighting of huge strata), total budget = half the corpus, each
+    stratum admitted by deterministic md5 rank up to its quota. ALL
+    quota arithmetic is integer (integer sqrt, integer window sums,
+    integer floor-division) so the allocation is bit-exact across
+    engines — no float normalization whose summation order could differ.
+    One tiny per-lang agg (+ unpartitioned window over the handful of
+    strata) broadcast-joined into the ranked corpus; NULL lang is its
+    own stratum (eqNullSafe join, the corpus_profile precedent)."""
+    from pyspark.sql import Window
+    docs = _docs(spark, sf_dir)
+    counts = (docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+              .withColumn("s", F.expr(
+                  "cast(floor(sqrt(cast(n as double))) as bigint)")))
+    wall = Window.partitionBy()
+    quota = (counts
+             .withColumn("tn", F.sum("n").over(wall))
+             .withColumn("ts", F.sum("s").over(wall))
+             .withColumn("q", F.expr(
+                 "least(n, ((tn div 2) * s) div ts)"))
+             .select("lang", "q"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    ranked = docs.select("doc_id", "lang",
+                         F.row_number().over(w).alias("rn"))
+    return (ranked.join(F.broadcast(quota),
+                        ranked["lang"].eqNullSafe(quota["lang"]))
+            .where(F.col("rn") <= F.col("q"))
+            .select(ranked["doc_id"], ranked["lang"])
+            .orderBy("lang", "doc_id"))
+
+
+@register(
+    "corpus_mix_consistent",
+    f"""
+    WITH {_MIX_QUOTA_CTES},
+    thr AS (SELECT lang,
+              (2147483647 // n) * q + ((2147483647 % n) * q) // n AS thr
+            FROM q)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN thr ON d.lang IS NOT DISTINCT FROM thr.lang
+    WHERE ({DD.h31_sql('CAST(doc_id AS VARCHAR)', 'duck')}) < thr.thr
+    ORDER BY d.lang, d.doc_id""",
+)
+def q_corpus_mix_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for corpus mixing: instead of an exact per-stratum
+    rank (whose window must sort whole strata once quotas stop being
+    literals — no WindowGroupLimit pushdown), admit doc_id iff its h31
+    hash falls under floor(MOD * q / n) for its stratum — a zero-shuffle
+    broadcast-join + pushed filter whose sample size is binomial around
+    the quota but reproducible across runs/engines/tables (the
+    consistent-sample contract). The threshold uses the overflow-free
+    two-term floor division (MOD//n)*q + ((MOD%n)*q)//n — exact integer
+    for strata up to ~3e9 docs, bit-identical in both engines."""
+    docs = _docs(spark, sf_dir)
+    counts = (docs.groupBy("lang").agg(F.count("*").cast("long").alias("n"))
+              .withColumn("s", F.expr(
+                  "cast(floor(sqrt(cast(n as double))) as bigint)")))
+    from pyspark.sql import Window
+    wall = Window.partitionBy()
+    thr = (counts
+           .withColumn("tn", F.sum("n").over(wall))
+           .withColumn("ts", F.sum("s").over(wall))
+           .withColumn("q", F.expr("least(n, ((tn div 2) * s) div ts)"))
+           .withColumn("thr", F.expr(
+               "(2147483647 div n) * q + ((2147483647 % n) * q) div n"))
+           .select(F.col("lang").alias("mix_lang"), "thr"))
+    h = F.expr(f"({dialect.hash32_expr('cast(doc_id as string)', 'spark')}"
+               f" % 2147483647)")
+    return (docs.join(F.broadcast(thr),
+                      docs["lang"].eqNullSafe(F.col("mix_lang")))
+            .where(h < F.col("thr"))
+            .select("doc_id", "lang")
+            .orderBy("lang", "doc_id"))
+
+
+def corpus_mix_py(docs: list[tuple], exact: bool = True) -> set[tuple]:
+    """INDEPENDENT pure-Python twin of both mixing variants (hashlib +
+    math.isqrt, zero SQL): integer-sqrt temperature weights, half-corpus
+    budget, exact md5-rank admission (exact=True) or h31 hash-threshold
+    admission (exact=False). Fuzz-pinned in tests/test_fuzz_parity.py."""
+    import hashlib
+    import math
+    strata: dict = {}
+    for doc_id, lang in docs:
+        strata.setdefault(lang, []).append(doc_id)
+    ns = {lang: len(ids) for lang, ids in strata.items()}
+    ss = {lang: math.isqrt(n) for lang, n in ns.items()}
+    tn, ts = sum(ns.values()), sum(ss.values())
+    quota = {lang: min(ns[lang], ((tn // 2) * ss[lang]) // ts)
+             for lang in ns}
+    out = set()
+    mod = 2147483647
+    for lang, ids in strata.items():
+        if exact:
+            ids.sort(key=lambda i: (
+                hashlib.md5(str(i).encode()).hexdigest(), i))
+            out.update((i, lang) for i in ids[:quota[lang]])
+        else:
+            n, q = ns[lang], quota[lang]
+            thr = (mod // n) * q + ((mod % n) * q) // n
+            out.update((i, lang) for i in ids
+                       if DD.h31_py(str(i)) < thr)
+    return out
+
+
 def stratified_sample_py(docs: list[tuple], quota: int = 40) -> set[tuple]:
     """INDEPENDENT pure-Python twin of the exact-quota stratified sample
     (hashlib only): within each lang stratum (NULL is its own stratum)

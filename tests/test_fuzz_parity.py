@@ -1039,6 +1039,45 @@ def test_sampling_repetition_python_twins(spark):
     assert rep[501] == (0, 0, 0.0, 0.0)
 
 
+def test_corpus_mix_python_twin(spark):
+    """corpus_mix_py restates both temperature-mix variants as
+    isqrt/Counter/hashlib logic — the Spark exact-rank window and the
+    hash-threshold filter must agree on strata spanning 1..200 docs
+    (incl. a single-doc stratum, a NULL-lang stratum, and one stratum
+    holding ~80% of the corpus so the sqrt temperature really bites)."""
+    import unittest.mock as mock
+
+    from clj_nlp_parse_spark import queries as Q
+
+    rnd = random.Random(131)
+    sizes = {"en": 200, "fr": 25, "de": 12, None: 5, "zz": 1}
+    docs, i = [], 0
+    for lang, n in sizes.items():
+        for _ in range(n):
+            docs.append((i, lang))
+            i += rnd.randint(1, 9)  # sparse ids → varied hashes
+    sdf = spark.createDataFrame(
+        [(d, l, "w") for d, l in docs],
+        "doc_id long, lang string, text string")
+
+    with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+        exact = {(r.doc_id, r.lang) for r in
+                 Q.QUERIES["corpus_mix"](spark, "twin").collect()}
+        cons = {(r.doc_id, r.lang) for r in
+                Q.QUERIES["corpus_mix_consistent"](spark, "twin").collect()}
+    assert exact == Q.corpus_mix_py(docs, exact=True)
+    assert cons == Q.corpus_mix_py(docs, exact=False)
+    # non-vacuous: temperature flattens the mix — the hot stratum's share
+    # of the sample is well below its corpus share; small strata survive;
+    # both variants target the same quotas (sizes within the binomial
+    # band of each other)
+    n_en = len([1 for _, l in exact if l == "en"])
+    assert n_en / len(exact) < 200 / len(docs)
+    assert any(l is None for _, l in exact)
+    assert abs(len(cons) - len(exact)) < 30
+    assert len(exact) <= len(docs) // 2
+
+
 def test_lm_perplexity_python_twin(spark):
     """lm_perplexity_py restates the bigram add-one LM as Counter +
     math.log — the Spark fit (train-split aggs, localCheckpointed model,
