@@ -42,6 +42,9 @@ HEADLINE = [
     "coref_chains", "coref_features", "natlog_tokens", "natlog_features",
     "srl_tokens", "cosine_dedup_banded", "cosine_dedup_banded_derived",
     "lm_perplexity",
+    # corpus_mix stays registered as the exact-rank oracle baseline; the
+    # zero-shuffle hash-threshold variant is the headline scale path
+    "corpus_mix_consistent", "passage_dedup",
     # image_feature_materialization is NOT in this loop: its REGISTERED
     # form (synth → decode → materialize-to-parquet → read-back → as-of)
     # is timed separately below as *_query, while the dedicated flagship

@@ -1544,6 +1544,125 @@ def stratified_sample_py(docs: list[tuple], quota: int = 40) -> set[tuple]:
     return out
 
 
+#: passage width (tokens) for exact-substring dedup. Lee et al. 2021
+#: ("Deduplicating Training Data Makes Language Models Better") removes
+#: duplicated >=50-token substrings via suffix arrays; the
+#: Spark-distributable restatement chunks each doc into NON-overlapping
+#: k-token passages and dedups exact passage matches corpus-wide —
+#: the line/passage-hash dedup used by RefinedWeb/Dolma-style pipelines.
+#: k=10 (not 50) so the sf0.01 corpus exercises real cross-doc matches.
+PASSAGE_K = 10
+
+
+@register(
+    "passage_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                  FROM documents),
+    chunks AS (
+      SELECT doc_id, i AS chunk_pos,
+             array_to_string(t[(i*{PASSAGE_K}+1):(i*{PASSAGE_K}+{PASSAGE_K})],
+                             ' ') AS chunk
+      FROM toks,
+           unnest(range(CAST(ceil(len(t)/{PASSAGE_K}.0) AS BIGINT))) u(i)),
+    marked AS (
+      SELECT doc_id, chunk_pos, chunk,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, chunk_pos) AS occ,
+             count(*) OVER (PARTITION BY chunk) AS n_occ
+      FROM chunks)
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_chunks,
+      CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS dup_chunks,
+      CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS removed_chunks,
+      coalesce(string_agg(CASE WHEN occ = 1 THEN chunk END, ' '
+                          ORDER BY chunk_pos), '') AS scrubbed_text
+    FROM marked GROUP BY doc_id ORDER BY doc_id""",
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (passage) dedup, Lee-et-al-2021-shaped: chunk each
+    doc into non-overlapping PASSAGE_K-token passages, find passages whose
+    exact text recurs ANYWHERE in the corpus, keep only the globally first
+    occurrence (min (doc_id, chunk_pos)), and emit per-doc dup stats plus
+    the scrubbed text with later occurrences removed. Scale shape: chunks
+    are built by a per-row `transform` over the token array (no token
+    explode — the explode is per PASSAGE, 1/k of the tokens); first
+    occurrence + occurrence count come from ONE groupBy(chunk) with
+    map-side partial aggregation — m identical passages collapse to one
+    record per map task BEFORE the shuffle, so the 100k-identical-docs hot
+    key ships m partial rows, not m full rows, and there is no windowed
+    global sort per chunk value (the oracle SQL deliberately uses the
+    window formulation — different algorithm, same semantics). Rebuild is
+    one groupBy(doc_id) over (pos, chunk) structs. Cites reference scope:
+    the reference has exact utterance-level dedup only
+    (src/clojure/zensols/nlparse/feature/word.clj word-count tables);
+    passage-level is the graft-added training-pipeline op."""
+    k = PASSAGE_K
+    docs = _docs(spark, sf_dir)
+    chunks = (docs
+              .select("doc_id", F.split("text", " ").alias("t"))
+              .select("doc_id", F.posexplode(F.expr(
+                  f"transform(sequence(0, cast(ceil(size(t)/{k}.0) as int)"
+                  f" - 1), i -> array_join(slice(t, i*{k}+1, {k}), ' '))"))
+                  .alias("chunk_pos", "chunk")))
+    firsts = chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "chunk_pos")).alias("first_occ"),
+        F.count("*").alias("n_occ"))
+    marked = (chunks.join(firsts, "chunk")
+              .select("doc_id", "chunk_pos", "chunk", "n_occ",
+                      ((F.col("first_occ.doc_id") == F.col("doc_id"))
+                       & (F.col("first_occ.chunk_pos")
+                          == F.col("chunk_pos"))).alias("is_first")))
+    return (marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+         .cast("long").alias("dup_chunks"),
+        F.sum(F.when(~F.col("is_first"), 1).otherwise(0))
+         .cast("long").alias("removed_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("is_first"),
+                           F.struct("chunk_pos", "chunk")))),
+                lambda x: x["chunk"]),
+            " ").alias("scrubbed_text"))
+        .orderBy("doc_id"))
+
+
+def passage_dedup_py(docs: list[tuple], k: int = PASSAGE_K) -> dict:
+    """INDEPENDENT pure-Python twin of passage_dedup (dict/list only, zero
+    SQL): chunk docs in input order into k-token passages, first scan
+    records the globally-minimal (doc_id, pos) and total count per exact
+    passage text, second scan rebuilds. Returns {doc_id: (n_chunks,
+    dup_chunks, removed_chunks, scrubbed_text)}. Fuzz-pinned in
+    tests/test_fuzz_parity.py."""
+    chunked: dict = {}
+    for doc_id, text in docs:
+        t = text.split(" ")
+        chunked[doc_id] = [
+            " ".join(t[i * k:i * k + k])
+            for i in range((len(t) + k - 1) // k)]
+    first: dict = {}
+    count: dict = {}
+    for doc_id in sorted(chunked):
+        for pos, c in enumerate(chunked[doc_id]):
+            count[c] = count.get(c, 0) + 1
+            if c not in first or (doc_id, pos) < first[c]:
+                first[c] = (doc_id, pos)
+    out = {}
+    for doc_id, cs in chunked.items():
+        kept = [c for pos, c in enumerate(cs)
+                if first[c] == (doc_id, pos)]
+        out[doc_id] = (
+            len(cs),
+            sum(1 for c in cs if count[c] > 1),
+            len(cs) - len(kept),
+            " ".join(kept))
+    return out
+
+
 # PII scrubbing — the corpus is synthetic word-salad with no PII, so the
 # query derives deterministic injections in-query (identical in both
 # dialects), then redacts them. Regexes are in the Java∩RE2 common subset.

@@ -1078,6 +1078,52 @@ def test_corpus_mix_python_twin(spark):
     assert len(exact) <= len(docs) // 2
 
 
+def test_passage_dedup_python_twin(spark):
+    """passage_dedup_py restates exact-passage dedup as two dict scans —
+    the Spark groupBy+join formulation (itself distinct from the oracle's
+    window SQL) must agree on a corpus engineered for collisions: verbatim
+    doc copies, shared k-aligned prefixes, a passage repeated WITHIN one
+    doc, trailing partial chunks, a single-token doc, and an empty-string
+    doc. Every removal decision and the rebuilt scrubbed text must match
+    byte-for-byte."""
+    import unittest.mock as mock
+
+    from clj_nlp_parse_spark import queries as Q
+
+    rnd = random.Random(977)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    shared = " ".join(rnd.choice(vocab) for _ in range(Q.PASSAGE_K))
+    docs = []
+    for i in range(40):
+        body = " ".join(rnd.choice(vocab)
+                        for _ in range(rnd.randint(1, 47)))
+        if i % 4 == 0:          # shared k-aligned prefix passage
+            body = shared + " " + body
+        if i % 7 == 0:          # passage repeated WITHIN the doc
+            body = shared + " " + shared + " " + body
+        docs.append((i * 3, body))
+    docs.append((200, docs[0][1]))   # verbatim copy, later doc_id
+    docs.append((201, "solo"))       # single-token doc (partial chunk)
+    docs.append((202, ""))           # empty text -> one ''-token chunk
+    sdf = spark.createDataFrame(
+        [(d, t, "en") for d, t in docs], "doc_id long, text string, lang string")
+
+    with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+        got = {r.doc_id: (r.n_chunks, r.dup_chunks, r.removed_chunks,
+                          r.scrubbed_text)
+               for r in Q.QUERIES["passage_dedup"](spark, "twin").collect()}
+    want = Q.passage_dedup_py(docs)
+    assert got == want
+    # non-vacuous: the verbatim copy is fully scrubbed of its duplicated
+    # passages; some doc actually lost a passage while keeping others;
+    # within-doc repetition is removed on the second occurrence
+    assert want[200][3] == "" or want[200][2] > 0
+    assert any(0 < v[2] < v[0] for v in want.values())
+    rep = next(v for k, v in want.items()
+               if k % 3 == 0 and k // 3 % 7 == 0 and k != 0)
+    assert rep[2] >= 1
+
+
 def test_lm_perplexity_python_twin(spark):
     """lm_perplexity_py restates the bigram add-one LM as Counter +
     math.log — the Spark fit (train-split aggs, localCheckpointed model,
