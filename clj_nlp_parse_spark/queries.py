@@ -1554,9 +1554,7 @@ def stratified_sample_py(docs: list[tuple], quota: int = 40) -> set[tuple]:
 PASSAGE_K = 10
 
 
-@register(
-    "passage_dedup",
-    f"""
+_PASSAGE_SQL = f"""
     WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                   FROM documents),
     chunks AS (
@@ -1579,8 +1577,42 @@ PASSAGE_K = 10
         AS removed_chunks,
       coalesce(string_agg(CASE WHEN occ = 1 THEN chunk END, ' '
                           ORDER BY chunk_pos), '') AS scrubbed_text
-    FROM marked GROUP BY doc_id ORDER BY doc_id""",
-)
+    FROM marked GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _passage_chunks(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_pos, chunk): non-overlapping PASSAGE_K-token
+    passages built by a per-row `transform` over the token array — the
+    explode is per PASSAGE (1/k of the tokens), never per token."""
+    k = PASSAGE_K
+    return (docs
+            .select("doc_id", F.split("text", " ").alias("t"))
+            .select("doc_id", F.posexplode(F.expr(
+                f"transform(sequence(0, cast(ceil(size(t)/{k}.0) as int)"
+                f" - 1), i -> array_join(slice(t, i*{k}+1, {k}), ' '))"))
+                .alias("chunk_pos", "chunk")))
+
+
+def _passage_doc_agg(marked: DataFrame) -> DataFrame:
+    """Per-doc rebuild from (doc_id, chunk_pos, chunk, n_occ, is_first):
+    counts plus the scrubbed text of first-occurrence passages in
+    textual order."""
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
+         .cast("long").alias("dup_chunks"),
+        F.sum(F.when(~F.col("is_first"), 1).otherwise(0))
+         .cast("long").alias("removed_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("is_first"),
+                           F.struct("chunk_pos", "chunk")))),
+                lambda x: x["chunk"]),
+            " ").alias("scrubbed_text"))
+
+
+@register("passage_dedup", _PASSAGE_SQL)
 def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring (passage) dedup, Lee-et-al-2021-shaped: chunk each
     doc into non-overlapping PASSAGE_K-token passages, find passages whose
@@ -1599,14 +1631,7 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference has exact utterance-level dedup only
     (src/clojure/zensols/nlparse/feature/word.clj word-count tables);
     passage-level is the graft-added training-pipeline op."""
-    k = PASSAGE_K
-    docs = _docs(spark, sf_dir)
-    chunks = (docs
-              .select("doc_id", F.split("text", " ").alias("t"))
-              .select("doc_id", F.posexplode(F.expr(
-                  f"transform(sequence(0, cast(ceil(size(t)/{k}.0) as int)"
-                  f" - 1), i -> array_join(slice(t, i*{k}+1, {k}), ' '))"))
-                  .alias("chunk_pos", "chunk")))
+    chunks = _passage_chunks(_docs(spark, sf_dir))
     firsts = chunks.groupBy("chunk").agg(
         F.min(F.struct("doc_id", "chunk_pos")).alias("first_occ"),
         F.count("*").alias("n_occ"))
@@ -1615,20 +1640,74 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                       ((F.col("first_occ.doc_id") == F.col("doc_id"))
                        & (F.col("first_occ.chunk_pos")
                           == F.col("chunk_pos"))).alias("is_first")))
-    return (marked.groupBy("doc_id").agg(
-        F.count("*").cast("long").alias("n_chunks"),
-        F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0))
-         .cast("long").alias("dup_chunks"),
-        F.sum(F.when(~F.col("is_first"), 1).otherwise(0))
-         .cast("long").alias("removed_chunks"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(
-                    F.when(F.col("is_first"),
-                           F.struct("chunk_pos", "chunk")))),
-                lambda x: x["chunk"]),
-            " ").alias("scrubbed_text"))
-        .orderBy("doc_id"))
+    return _passage_doc_agg(marked).orderBy("doc_id")
+
+
+@register("passage_dedup_incremental", _PASSAGE_SQL)
+def q_passage_dedup_incremental(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """Incremental passage-dedup maintenance — the daily-crawl-increment
+    job: corpus split at the 80th percentile of ids (a crawl increment
+    always has NEWER ids than history, the curation_incremental split),
+    and ONLY the batch's text is chunked; history is touched exclusively
+    through its materialized state — the (chunk, doc_id, chunk_pos)
+    inventory and its per-chunk (first_occ, count) aggregate, which at
+    production scale are bucketed tables maintained across increments.
+    Because batch ids sort after every history id, history docs'
+    first-occurrence decisions (removed_chunks, scrubbed_text) are
+    PROVABLY stable; the only history change is the unique→duplicated
+    flip for chunks the batch repeats, applied as a keyed delta: the
+    flip set comes from the batch-side aggregate (hist count == 1 AND
+    batch count >= 1), joins back to the inventory on the chunk key, and
+    updates dup_chunks per affected doc — O(|batch| + |touched keys|)
+    work, no history text re-scan. Oracle = the FULL-recompute window
+    SQL of passage_dedup: incremental output must be bit-identical to
+    rerunning everything (the incremental_asof_update contract)."""
+    docs = _docs(spark, sf_dir)
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    thr = (mx or 0) * 4 // 5    # empty corpus → both halves empty
+    hist_chunks = _passage_chunks(docs.where(F.col("doc_id") <= thr))
+    batch_chunks = _passage_chunks(docs.where(F.col("doc_id") > thr))
+
+    hist_firsts = hist_chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "chunk_pos")).alias("h_first"),
+        F.count("*").alias("hn"))
+    # prev = the materialized per-doc output of the LAST increment
+    prev = _passage_doc_agg(
+        hist_chunks.join(hist_firsts, "chunk")
+        .select("doc_id", "chunk_pos", "chunk",
+                F.col("hn").alias("n_occ"),
+                ((F.col("h_first.doc_id") == F.col("doc_id"))
+                 & (F.col("h_first.chunk_pos") == F.col("chunk_pos")))
+                .alias("is_first")))
+
+    batch_firsts = batch_chunks.groupBy("chunk").agg(
+        F.min(F.struct("doc_id", "chunk_pos")).alias("b_first"),
+        F.count("*").alias("bn"))
+    touched = (batch_firsts
+               .join(hist_firsts.select("chunk", "hn"), "chunk", "left")
+               .select("chunk", "b_first", "bn",
+                       F.coalesce("hn", F.lit(0)).alias("hn")))
+    batch_out = _passage_doc_agg(
+        batch_chunks.join(touched, "chunk")
+        .select("doc_id", "chunk_pos", "chunk",
+                (F.col("bn") + F.col("hn")).alias("n_occ"),
+                ((F.col("hn") == 0)
+                 & (F.col("b_first.doc_id") == F.col("doc_id"))
+                 & (F.col("b_first.chunk_pos") == F.col("chunk_pos")))
+                .alias("is_first")))
+
+    # unique→dup flips: each such chunk has EXACTLY ONE history row
+    flips = touched.where(F.col("hn") == 1).select("chunk")
+    delta = (hist_chunks.join(flips, "chunk")
+             .groupBy("doc_id").agg(F.count("*").alias("add_dups")))
+    hist_out = (prev.join(delta, "doc_id", "left")
+                .select("doc_id", "n_chunks",
+                        (F.col("dup_chunks")
+                         + F.coalesce("add_dups", F.lit(0)))
+                        .cast("long").alias("dup_chunks"),
+                        "removed_chunks", "scrubbed_text"))
+    return hist_out.unionByName(batch_out).orderBy("doc_id")
 
 
 def passage_dedup_py(docs: list[tuple], k: int = PASSAGE_K) -> dict:

@@ -1112,8 +1112,17 @@ def test_passage_dedup_python_twin(spark):
         got = {r.doc_id: (r.n_chunks, r.dup_chunks, r.removed_chunks,
                           r.scrubbed_text)
                for r in Q.QUERIES["passage_dedup"](spark, "twin").collect()}
+        # incremental maintenance == full recompute on the same corpus;
+        # the 80th-pct split puts the verbatim copy (doc 200) in the
+        # BATCH, so history docs' unique chunks flip to duplicated via
+        # the keyed delta path
+        inc = {r.doc_id: (r.n_chunks, r.dup_chunks, r.removed_chunks,
+                          r.scrubbed_text)
+               for r in Q.QUERIES["passage_dedup_incremental"](
+                   spark, "twin").collect()}
     want = Q.passage_dedup_py(docs)
     assert got == want
+    assert inc == want
     # non-vacuous: the verbatim copy is fully scrubbed of its duplicated
     # passages; some doc actually lost a passage while keeping others;
     # within-doc repetition is removed on the second occurrence
