@@ -1681,15 +1681,37 @@ def q_passage_dedup_incremental(spark: SparkSession, sf_dir: str
                  & (F.col("h_first.chunk_pos") == F.col("chunk_pos")))
                 .alias("is_first")))
 
+    return (incremental_passage_update(
+        prev, hist_firsts, hist_chunks, batch_chunks)
+        .orderBy("doc_id"))
+
+
+def incremental_passage_update(prev: DataFrame, hist_firsts: DataFrame,
+                               hist_chunks: DataFrame,
+                               batch_chunks: DataFrame) -> DataFrame:
+    """Apply one crawl increment to materialized passage-dedup state.
+    The three state tables (prev per-doc output, per-chunk (first, count)
+    aggregate, chunk inventory) are each SCANNED EXACTLY ONCE and never
+    shuffled: every join against state broadcasts the batch-derived
+    (small) side — the increment≪corpus assumption shared with
+    decontaminate/asof_incremental. When an increment is too large to
+    broadcast its chunk-key set, bucket the state tables by chunk and
+    these become shuffle-free bucketed joins instead; the plan shape is
+    otherwise identical. Requires every batch doc_id > every history
+    doc_id (crawl increments append)."""
     batch_firsts = batch_chunks.groupBy("chunk").agg(
         F.min(F.struct("doc_id", "chunk_pos")).alias("b_first"),
         F.count("*").alias("bn"))
+    # prune state to batch-touched keys: ONE scan of the aggregate,
+    # broadcast-probed — the big side never shuffles
+    hn_touched = (hist_firsts.select("chunk", "hn")
+                  .join(F.broadcast(batch_firsts.select("chunk")), "chunk"))
     touched = (batch_firsts
-               .join(hist_firsts.select("chunk", "hn"), "chunk", "left")
+               .join(F.broadcast(hn_touched), "chunk", "left")
                .select("chunk", "b_first", "bn",
                        F.coalesce("hn", F.lit(0)).alias("hn")))
     batch_out = _passage_doc_agg(
-        batch_chunks.join(touched, "chunk")
+        batch_chunks.join(F.broadcast(touched), "chunk")
         .select("doc_id", "chunk_pos", "chunk",
                 (F.col("bn") + F.col("hn")).alias("n_occ"),
                 ((F.col("hn") == 0)
@@ -1697,17 +1719,18 @@ def q_passage_dedup_incremental(spark: SparkSession, sf_dir: str
                  & (F.col("b_first.chunk_pos") == F.col("chunk_pos")))
                 .alias("is_first")))
 
-    # unique→dup flips: each such chunk has EXACTLY ONE history row
+    # unique→dup flips: each such chunk has EXACTLY ONE history row in
+    # the inventory — ONE broadcast-probed scan finds it
     flips = touched.where(F.col("hn") == 1).select("chunk")
-    delta = (hist_chunks.join(flips, "chunk")
+    delta = (hist_chunks.join(F.broadcast(flips), "chunk")
              .groupBy("doc_id").agg(F.count("*").alias("add_dups")))
-    hist_out = (prev.join(delta, "doc_id", "left")
+    hist_out = (prev.join(F.broadcast(delta), "doc_id", "left")
                 .select("doc_id", "n_chunks",
                         (F.col("dup_chunks")
                          + F.coalesce("add_dups", F.lit(0)))
                         .cast("long").alias("dup_chunks"),
                         "removed_chunks", "scrubbed_text"))
-    return hist_out.unionByName(batch_out).orderBy("doc_id")
+    return hist_out.unionByName(batch_out)
 
 
 def passage_dedup_py(docs: list[tuple], k: int = PASSAGE_K) -> dict:

@@ -56,6 +56,62 @@ def run_once(spark, n, hot_frac):
         return round(time.perf_counter() - t0, 3)
 
 
+def probe_incremental(spark, n_hist, n_batch,
+                      state_dir="/dev/shm/passage_state"):
+    """Price the increment against MATERIALIZED state (the production
+    shape: prev output + per-chunk aggregate + inventory live as tables
+    across increments) vs full recompute over history+batch. The
+    incremental job chunk-scans ONLY the batch and broadcast-probes the
+    state scans — no history text re-scan, no state shuffle — so at a
+    FIXED batch size its cost must grow far slower with history than
+    the full recompute's shuffle-everything plan."""
+    import shutil
+
+    docs = synth_docs(spark, n_hist + n_batch, 0.0)
+    thr = n_hist - 1
+    hist = docs.where(F.col("doc_id") <= thr)
+    batch = docs.where(F.col("doc_id") > thr)
+
+    # materialize state (untimed — it persists across increments)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    hist_chunks = Q._passage_chunks(hist)
+    hist_chunks.write.parquet(f"{state_dir}/inventory")
+    hist_firsts = (spark.read.parquet(f"{state_dir}/inventory")
+                   .groupBy("chunk")
+                   .agg(F.min(F.struct("doc_id", "chunk_pos"))
+                        .alias("h_first"),
+                        F.count("*").alias("hn")))
+    hist_firsts.write.parquet(f"{state_dir}/firsts")
+    fdf = spark.read.parquet(f"{state_dir}/firsts")
+    Q._passage_doc_agg(
+        spark.read.parquet(f"{state_dir}/inventory").join(fdf, "chunk")
+        .select("doc_id", "chunk_pos", "chunk",
+                F.col("hn").alias("n_occ"),
+                ((F.col("h_first.doc_id") == F.col("doc_id"))
+                 & (F.col("h_first.chunk_pos") == F.col("chunk_pos")))
+                .alias("is_first"))).write.parquet(f"{state_dir}/prev")
+
+    t0 = time.perf_counter()
+    Q.incremental_passage_update(
+        spark.read.parquet(f"{state_dir}/prev"),
+        spark.read.parquet(f"{state_dir}/firsts"),
+        spark.read.parquet(f"{state_dir}/inventory"),
+        Q._passage_chunks(batch),
+    ).write.format("noop").mode("overwrite").save()
+    t_inc = round(time.perf_counter() - t0, 3)
+
+    with mock.patch.object(Q, "_docs", lambda _s, _d: docs):
+        plan = Q.QUERIES["passage_dedup"](spark, "probe")
+        t0 = time.perf_counter()
+        plan.write.format("noop").mode("overwrite").save()
+        t_full = round(time.perf_counter() - t0, 3)
+    shutil.rmtree(state_dir, ignore_errors=True)
+    print(f"incremental: hist={n_hist} batch={n_batch}  "
+          f"update {t_inc:.3f} s vs full recompute {t_full:.3f} s  "
+          f"({t_full / t_inc:.2f}x)", flush=True)
+    return t_inc, t_full
+
+
 def main() -> None:
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     spark = get_spark(app_name="probe-passage", parallelism=8,
@@ -74,6 +130,12 @@ def main() -> None:
           f"(linear => ~<=4x)")
     print(f"hot90/uniform at 4N: {hot_cost:.2f}x  "
           f"(map-side collapse => ~1x)")
+    # fixed 4k-doc increment against a growing history: the update's
+    # wall must stay ~flat while the full recompute scales with history
+    i1, f1 = probe_incremental(spark, 4 * n_small, 4_000)
+    i2, f2 = probe_incremental(spark, 16 * n_small, 4_000)
+    print(f"history x4 growth: update {i2 / i1:.2f}x  "
+          f"full recompute {f2 / f1:.2f}x", flush=True)
     spark.stop()
 
 
