@@ -1662,7 +1662,9 @@ def q_passage_dedup_incremental(spark: SparkSession, sf_dir: str
     updates dup_chunks per affected doc — O(|batch| + |touched keys|)
     work, no history text re-scan. Oracle = the FULL-recompute window
     SQL of passage_dedup: incremental output must be bit-identical to
-    rerunning everything (the incremental_asof_update contract)."""
+    rerunning everything (the incremental_asof_update contract). The id
+    threshold is a driver-side scalar max (documented eager metadata
+    lookup, the curation_incremental precedent)."""
     docs = _docs(spark, sf_dir)
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
     thr = (mx or 0) * 4 // 5    # empty corpus → both halves empty
