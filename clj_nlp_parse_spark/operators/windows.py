@@ -151,3 +151,62 @@ def backfill_py(rows: list[dict], value_col: str,
             r[out_col or f"{value_col}_filled"] = carried
             out.append(r)
     return out
+
+
+def rolling_features_py(rows: list[dict], entity: str = "user_id",
+                        ts: str = "ts", tiebreak: str = "event_id",
+                        value: str = "value") -> list[dict]:
+    """Twin of q_rolling_features: trailing-3 mean/max (nulls ignored,
+    None when the whole window is null — SQL aggregate semantics) and
+    delta vs the previous row (None if either side is null)."""
+    out = []
+    for g in _sorted_rows(rows, entity, ts, tiebreak).values():
+        for i, r in enumerate(g):
+            win = [x[value] for x in g[max(0, i - 2):i + 1]
+                   if x[value] is not None]
+            prev = g[i - 1][value] if i > 0 else None
+            r = dict(r)
+            r["roll_mean3"] = sum(win) / len(win) if win else None
+            r["roll_max3"] = max(win) if win else None
+            r["delta"] = (r[value] - prev
+                          if r[value] is not None and prev is not None
+                          else None)
+            out.append(r)
+    return out
+
+
+def daily_rollup_py(rows: list[dict], entity: str = "user_id",
+                    ts: str = "ts", value: str = "value") -> dict:
+    """Twin of q_daily_rollup: {(entity, date): (n_events, sum, min,
+    max)} with SQL null semantics (nulls ignored by sum/min/max, count
+    counts rows; all-null group -> None aggregates)."""
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r[entity], r[ts].date()), []).append(r[value])
+    return {k: (len(vs),
+                sum(nn) if (nn := [v for v in vs if v is not None])
+                else None,
+                min(nn) if nn else None,
+                max(nn) if nn else None)
+            for k, vs in groups.items()}
+
+
+def session_stats_py(rows: list[dict], gap_seconds: int,
+                     entity: str = "user_id", ts: str = "ts",
+                     value: str = "value") -> dict:
+    """Twin of q_session_stats: sessionize_py then per-session count,
+    millisecond span, and null-ignoring value sum — {(entity,
+    session_id): (n_events, duration_ms, sum_value)}."""
+    from datetime import timezone as _tz
+    groups: dict = {}
+    for r in sessionize_py(rows, gap_seconds, entity=entity, ts=ts):
+        groups.setdefault((r[entity], r["session_id"]), []).append(r)
+    def ms(dt):
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_tz.utc)
+        return int(dt.timestamp() * 1000)
+    return {k: (len(g),
+                ms(max(r[ts] for r in g)) - ms(min(r[ts] for r in g)),
+                sum(nn) if (nn := [r[value] for r in g
+                                   if r[value] is not None]) else None)
+            for k, g in groups.items()}

@@ -1078,6 +1078,64 @@ def test_corpus_mix_python_twin(spark):
     assert len(exact) <= len(docs) // 2
 
 
+def test_windowed_query_python_twins(spark):
+    """rolling_features_py / daily_rollup_py / session_stats_py restate
+    the three REGISTERED windowed queries (not just the underlying
+    operators) as sorted-list arithmetic. Stream engineered for the edge
+    cases: duplicate timestamps (event_id tiebreak), NULL values (SQL
+    aggregate null semantics incl. an all-null trailing window),
+    boundary-exact 1800 s gaps, deltas crossing midnight (daily rollup
+    day split), and a singleton user. Values are dyadic rationals so
+    float summation is exact and order-free."""
+    import unittest.mock as mock
+    from datetime import datetime, timedelta
+
+    from clj_nlp_parse_spark import queries as Q
+    from clj_nlp_parse_spark.operators import windows as W
+
+    rnd = random.Random(41)
+    rows, eid = [], 0
+    for user in range(12):
+        t = datetime(2024, 3, 1, 22, 0, 0)
+        for _ in range(rnd.randint(1, 30)):
+            t = t + timedelta(seconds=rnd.choice(
+                [0, 1, 5, 1800, 1801, 90_000]))
+            rows.append({"user_id": user, "event_id": eid, "ts": t,
+                         "value": None if rnd.random() < 0.25
+                         else rnd.randint(-8, 8) / 4.0})
+            eid += 1
+    rows.append({"user_id": 99, "event_id": eid,
+                 "ts": datetime(2024, 3, 1), "value": None})
+
+    sdf = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double")
+    with mock.patch.object(Q, "_events", lambda _s, _d: sdf):
+        roll = {r.event_id: (r.roll_mean3, r.roll_max3, r.delta)
+                for r in Q.QUERIES["rolling_features"](
+                    spark, "twin").collect()}
+        daily = {(r.user_id, r.day): (r.n_events, r.sum_value,
+                                      r.min_value, r.max_value)
+                 for r in Q.QUERIES["daily_rollup"](
+                     spark, "twin").collect()}
+        sess = {(r.user_id, r.session_id): (r.n_events, r.duration_ms,
+                                            r.sum_value)
+                for r in Q.QUERIES["session_stats"](
+                    spark, "twin").collect()}
+
+    assert roll == {r["event_id"]: (r["roll_mean3"], r["roll_max3"],
+                                    r["delta"])
+                    for r in W.rolling_features_py(rows)}
+    assert daily == W.daily_rollup_py(rows)
+    assert sess == W.session_stats_py(rows, 1800)
+    # non-vacuous: null windows, day splits, and multi-session users all
+    # actually occurred
+    assert any(v[0] is None for v in roll.values())
+    assert any(v[2] is None for v in roll.values()) \
+        and any(v[2] is not None for v in roll.values())
+    assert len({d for _, d in daily}) >= 3
+    assert max(s for _, s in sess) >= 2
+
+
 def test_passage_dedup_python_twin(spark):
     """passage_dedup_py restates exact-passage dedup as two dict scans —
     the Spark groupBy+join formulation (itself distinct from the oracle's
