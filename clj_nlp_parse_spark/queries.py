@@ -2695,9 +2695,7 @@ def q_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_a", "doc_b"))
 
 
-@register(
-    "dedup_groups",
-    _JP_CORE.replace("WITH wd", "WITH RECURSIVE wd") + f"""
+_GROUPS_CTES = _JP_CORE.replace("WITH wd", "WITH RECURSIVE wd") + """
     , pairs AS (
         SELECT doc_a, doc_b FROM inter
         JOIN sizes sa ON sa.doc_id = doc_a
@@ -2711,7 +2709,12 @@ def q_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
     , comp AS (SELECT u AS node, least(u, min(v)) AS component
-               FROM reach GROUP BY u)
+               FROM reach GROUP BY u)"""
+
+
+@register(
+    "dedup_groups",
+    _GROUPS_CTES + """
     SELECT d.doc_id,
            coalesce(c.component, d.doc_id) AS component,
            coalesce(c.component, d.doc_id) = d.doc_id AS keep
@@ -2727,6 +2730,38 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     that survives 100×."""
     return DD.dedup_groups(_docs(spark, sf_dir), threshold=0.5) \
              .orderBy("doc_id")
+
+
+@register(
+    "leakage_safe_split",
+    _GROUPS_CTES + f"""
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id) AS component,
+           CASE WHEN ({DD.h31_sql(
+               "CAST(coalesce(c.component, d.doc_id) AS VARCHAR)",
+               "duck")}) % 100 < 90
+                THEN 'train' ELSE 'eval' END AS split
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ORDER BY d.doc_id""",
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/eval split (the GroupShuffleSplit of training
+    pipelines): every doc is assigned train/eval by hashing its near-dup
+    COMPONENT label, not its own id — so all members of a near-dup group
+    land on the same side BY CONSTRUCTION and no eval doc has a near-dup
+    twin in train (the leakage mode that inflates eval scores). 90/10 by
+    the deterministic h31 hash: reproducible across runs, engines, and
+    cluster sizes, and stable under re-partitioning. Cost on top of
+    dedup_groups is one hash projection — zero extra shuffles; at 100 TB
+    the component labels are already materialized by the dedup pass."""
+    groups = DD.dedup_groups(_docs(spark, sf_dir), threshold=0.5)
+    h = F.expr(f"({DD.h31_sql('CAST(component AS STRING)', 'spark')})"
+               f" % 100")
+    return (groups.select(
+        "doc_id", "component",
+        F.when(h < 90, F.lit("train")).otherwise(F.lit("eval"))
+         .alias("split"))
+        .orderBy("doc_id"))
 
 
 # ----------------------------------------------- positional / slice (O2, O8)

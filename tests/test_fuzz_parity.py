@@ -505,6 +505,25 @@ def test_dedup_groups_python_twin(spark):
     assert got[210][0] == got[211][0] == got[212][0] == 210
     assert got[220] == (220, True) and got[221] == (221, True)
 
+    # leakage_safe_split rides the same components: hash-of-component
+    # admission (h31_py twin), every near-dup group on ONE side, both
+    # sides populated on this corpus
+    import unittest.mock as mock
+
+    from clj_nlp_parse_spark import queries as Q
+    with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+        split = {r.doc_id: (r.component, r.split)
+                 for r in Q.QUERIES["leakage_safe_split"](
+                     spark, "twin").collect()}
+    assert split == {i: (c, "train" if D.h31_py(str(c)) % 100 < 90
+                         else "eval")
+                     for i, (c, _) in want.items()}
+    comp_sides: dict = {}
+    for c, s in split.values():
+        comp_sides.setdefault(c, set()).add(s)
+    assert all(len(s) == 1 for s in comp_sides.values())
+    assert {s for _, s in split.values()} == {"train", "eval"}
+
 
 def test_brute_force_topk_python_twin(spark):
     """topk_py reproduces brute_force_topk bit-exactly: the Spark dot fold
