@@ -710,3 +710,40 @@ def image_dedup_groups_py(rows: list[tuple],
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {i: (find(i), find(i) == i) for i, _ in rows}
+
+
+def exact_dedup_py(docs: list[tuple]) -> dict:
+    """Twin of exact_dedup over [(id, text)]: normalize (lower, collapse
+    ASCII whitespace, trim), md5-hash, group — {id: (text_hash,
+    group_size, keep)}. NULL text hashes to None and groups together
+    (SQL window partitions treat NULL as one group)."""
+    import re as _re
+
+    def norm(t):
+        if t is None:
+            return None
+        return _hashlib.md5(
+            _re.sub(r"\s+", " ", t.lower()).strip().encode("utf-8")
+        ).hexdigest()
+
+    hashes = {i: norm(t) for i, t in docs}
+    groups: dict = {}
+    for i, h in hashes.items():
+        groups.setdefault(h, []).append(i)
+    return {i: (h, len(groups[h]), i == min(groups[h]))
+            for i, h in hashes.items()}
+
+
+def decontaminate_py(docs: list[tuple], n: int = 3) -> dict:
+    """Twin of the decontaminate registry query over [(id, text)]: eval
+    split = id % 97 == 0, a training doc is contaminated iff it shares
+    ANY distinct n-gram shingle with the eval split — {train_id:
+    (contaminated, keep)}. Docs shorter than n words have no shingles
+    and can never be contaminated."""
+    sh = {i: set(_shingles_py(_tokens_py(t), n)) for i, t in docs}
+    ev: set = set()
+    for i, _ in docs:
+        if i % 97 == 0:
+            ev |= sh[i]
+    return {i: (bool(sh[i] & ev), not sh[i] & ev)
+            for i, _ in docs if i % 97 != 0}

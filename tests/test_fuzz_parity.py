@@ -525,6 +525,58 @@ def test_dedup_groups_python_twin(spark):
     assert {s for _, s in split.values()} == {"train", "eval"}
 
 
+def test_exact_dedup_decontaminate_python_twins(spark):
+    """exact_dedup_py / decontaminate_py restate the registered
+    dedup_exact and decontaminate queries as hashlib/set logic. Corpus
+    engineered for the normalization and split edges: texts differing
+    only in case / tab / newline / multi-space (must collapse to one
+    group), NULL and empty texts, sub-n-word docs (no shingles → never
+    contaminated), and training docs sharing exactly one 3-gram with an
+    eval doc (id % 97 == 0)."""
+    import unittest.mock as mock
+
+    from clj_nlp_parse_spark import queries as Q
+    from clj_nlp_parse_spark.operators import dedup as D
+
+    rnd = random.Random(307)
+    vocab = _random_tokens(30, seed=71)[:20]
+    docs = []
+    for i in range(180):
+        words = [rnd.choice(vocab) for _ in range(rnd.randint(0, 9))]
+        sep = rnd.choice([" ", "  ", "\t", "\n", " \n "])
+        text = sep.join(words)
+        if rnd.random() < 0.3:
+            text = text.upper()
+        docs.append((i, text))
+    docs += [(300, "alpha  beta\tgamma"), (301, "ALPHA BETA GAMMA"),
+             (302, "alpha beta gamma\n"), (310, None), (311, ""),
+             (312, "  "), (313, "solo")]
+    # doc 0 is eval (0 % 97 == 0): pin its text to force a one-shingle
+    # overlap with training doc 350; 388 is an eval doc duplicating
+    # training text (exact-dup group spanning the split)
+    docs[0] = (0, "needle one two three haystack")
+    docs += [(350, "zz one two three qq"), (388, docs[5][1])]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+        got_e = {r.doc_id: (r.text_hash, r.group_size, r.keep)
+                 for r in Q.QUERIES["dedup_exact"](spark, "twin").collect()}
+        got_d = {r.doc_id: (r.contaminated, r.keep)
+                 for r in Q.QUERIES["decontaminate"](
+                     spark, "twin").collect()}
+    assert got_e == D.exact_dedup_py(docs)
+    assert got_d == D.decontaminate_py(docs, 3)
+    # non-vacuous: the case/whitespace variants collapsed to ONE group
+    # with the lowest id keeping; the planted 3-gram overlap flagged 350;
+    # the sub-3-word doc is clean
+    assert got_e[300][1] >= 3 and got_e[300][2] \
+        and not got_e[301][2] and not got_e[302][2]
+    assert got_d[350] == (True, False)
+    assert got_d[313] == (False, True)
+    assert any(c for c, _ in got_d.values()) \
+        and any(not c for c, _ in got_d.values())
+
+
 def test_brute_force_topk_python_twin(spark):
     """topk_py reproduces brute_force_topk bit-exactly: the Spark dot fold
     is a left-associative sequential double accumulation, so a plain
