@@ -2794,6 +2794,29 @@ def q_token_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "__f.*").orderBy("doc_id"))
 
 
+def token_positional_py(text: str) -> tuple:
+    """INDEPENDENT pure-Python twin of token_positional (re + list
+    indexing only): tokens = TOKEN_RE over lowered text; nth access is
+    None-safe (1-based, -1 = last), slice_2_4 joins words 2..4 (empty
+    string when absent). Fuzz-pinned in tests/test_fuzz_parity.py."""
+    ws = dialect.TOKEN_RE_PY.findall((text or "").lower())
+    return (ws[0] if ws else None,
+            dialect.pos_py(ws[2]) if len(ws) >= 3 else None,
+            ws[-1] if ws else None,
+            " ".join(ws[1:4]))
+
+
+def sentiment_labels_py(text: str) -> tuple:
+    """INDEPENDENT pure-Python twin of sentiment_labels (O11): doc score
+    from the sentiment_features twin, then the reference's 5-way label
+    map (parse.clj:242-252)."""
+    s = features.sentiment_features_py(text)["sentiment_utterance"]
+    label = ("very positive" if s >= 2 else "positive" if s == 1
+             else "neutral" if s == 0 else "negative" if s == -1
+             else "very negative")
+    return s, label
+
+
 # --------------------------------------- A6-shaped model NER (gazetteer CRF)
 from clj_nlp_parse_spark.operators import ner as NER
 

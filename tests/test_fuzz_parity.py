@@ -525,6 +525,47 @@ def test_dedup_groups_python_twin(spark):
     assert {s for _, s in split.values()} == {"train", "eval"}
 
 
+def test_positional_sentiment_label_python_twins(spark):
+    """token_positional_py / sentiment_labels_py restate O2/O8 positional
+    access and the O11 label map as list indexing + the existing
+    sentiment twin. Docs span the boundary shapes: empty, punct-only,
+    exactly 1/2/3 tokens (nth and slice edges), sentiment-heavy text
+    hitting every label branch, and random soups."""
+    import unittest.mock as mock
+
+    from clj_nlp_parse_spark import queries as Q
+
+    rnd = random.Random(613)
+    vocab = _random_tokens(40, seed=29)[:25] + [
+        "good", "great", "bad", "terrible", "happy", "sad"]
+    docs = [(i, " ".join(rnd.choice(vocab)
+                         for _ in range(rnd.randint(0, 12))))
+            for i in range(120)]
+    docs += [(200, ""), (201, "..!?"), (202, "one"), (203, "one two"),
+             (204, "one two three"),
+             (205, "good great happy. good good!"),
+             (206, "bad terrible. sad bad bad."),
+             (207, "good bad."), (208, "good words here.")]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+
+    with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+        got_p = {r.doc_id: (r.first_word, r.third_tag, r.last_word,
+                            r.slice_2_4)
+                 for r in Q.QUERIES["token_positional"](
+                     spark, "twin").collect()}
+        got_s = {r.doc_id: (r.sentiment, r.sentiment_label)
+                 for r in Q.QUERIES["sentiment_labels"](
+                     spark, "twin").collect()}
+    assert got_p == {i: Q.token_positional_py(t) for i, t in docs}
+    assert got_s == {i: Q.sentiment_labels_py(t) for i, t in docs}
+    # non-vacuous: nth edges actually exercised and all 5 labels hit
+    assert got_p[202] == ("one", None, "one", "")
+    assert got_p[204][1] is not None and got_p[200][0] is None
+    assert {lbl for _, lbl in got_s.values()} == {
+        "very positive", "positive", "neutral", "negative",
+        "very negative"}
+
+
 def test_exact_dedup_decontaminate_python_twins(spark):
     """exact_dedup_py / decontaminate_py restate the registered
     dedup_exact and decontaminate queries as hashlib/set logic. Corpus
