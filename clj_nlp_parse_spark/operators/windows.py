@@ -210,3 +210,38 @@ def session_stats_py(rows: list[dict], gap_seconds: int,
                 sum(nn) if (nn := [r[value] for r in g
                                    if r[value] is not None]) else None)
             for k, g in groups.items()}
+
+
+def interval_overlap_py(rows: list[dict], entity: str = "user_id",
+                        ts: str = "ts") -> set:
+    """Twin of the interval_overlap_join query: intervals are the
+    event_id % 10 == 0 rows widened +600 s; result = {(event_id,
+    user_id, iv_id)} for every point row inside a same-entity interval,
+    INCLUSIVE on both ends (reference overlap? semantics)."""
+    from datetime import timezone as _tz
+
+    def ms(dt):
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_tz.utc)
+        return int(dt.timestamp() * 1000)
+
+    ivs = [(r[entity], ms(r[ts]), ms(r[ts]) + 600_000, r["event_id"])
+           for r in rows if r["event_id"] % 10 == 0]
+    return {(p["event_id"], p[entity], iv_id)
+            for p in rows if p["event_id"] % 10 != 0
+            for u, beg, end, iv_id in ivs
+            if p[entity] == u and beg <= ms(p[ts]) <= end}
+
+
+def first_non_null_py(rows: list[dict], entity: str = "user_id",
+                      ts: str = "ts", tiebreak: str = "event_id",
+                      value: str = "value") -> dict:
+    """Twin of the first_non_null query: per entity, the first non-null
+    value in (ts, tiebreak) order, with nulls injected on every 5th
+    event_id — {entity: first_value_or_None}."""
+    out = {}
+    for e, g in _sorted_rows(rows, entity, ts, tiebreak).items():
+        out[e] = next((r[value] for r in g
+                       if r["event_id"] % 5 != 0
+                       and r[value] is not None), None)
+    return out

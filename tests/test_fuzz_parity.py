@@ -1233,12 +1233,25 @@ def test_windowed_query_python_twins(spark):
                                             r.sum_value)
                 for r in Q.QUERIES["session_stats"](
                     spark, "twin").collect()}
+        iv = {(r.event_id, r.user_id, r.iv_id)
+              for r in Q.QUERIES["interval_overlap_join"](
+                  spark, "twin").collect()}
+        fnn = {r.user_id: r.first_value
+               for r in Q.QUERIES["first_non_null"](
+                   spark, "twin").collect()}
 
     assert roll == {r["event_id"]: (r["roll_mean3"], r["roll_max3"],
                                     r["delta"])
                     for r in W.rolling_features_py(rows)}
     assert daily == W.daily_rollup_py(rows)
     assert sess == W.session_stats_py(rows, 1800)
+    assert iv == W.interval_overlap_py(rows)
+    assert fnn == W.first_non_null_py(rows)
+    # non-vacuous: interval hits exist; the all-null singleton user 99
+    # yields first_value None while populated users yield values
+    assert len(iv) > 10
+    assert fnn[99] is None
+    assert sum(v is not None for v in fnn.values()) >= 8
     # non-vacuous: null windows, day splits, and multi-session users all
     # actually occurred
     assert any(v[0] is None for v in roll.values())
