@@ -1425,3 +1425,33 @@ def test_signature_twin_hypothesis(spark):
             assert sh[i] == D.simhash_py(t), t
 
     check()
+
+
+def test_passage_dedup_twin_hypothesis(spark):
+    """Hypothesis-driven (shrinking) variant of the passage-dedup twin:
+    arbitrary tiny-vocab token soups — where k-token passages collide
+    constantly, within and across docs, and trailing partial chunks are
+    the norm — must give identical dup stats and byte-identical scrubbed
+    text in Spark and pure Python."""
+    import unittest.mock as mock
+
+    from hypothesis import given, settings, strategies as st
+
+    from clj_nlp_parse_spark import queries as Q
+
+    token = st.sampled_from(["a", "b", "aa", "0"])
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.lists(token, max_size=25).map(" ".join),
+                    min_size=1, max_size=8))
+    def check(texts):
+        docs = list(enumerate(texts))
+        sdf = spark.createDataFrame(docs, "doc_id long, text string")
+        with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+            got = {r.doc_id: (r.n_chunks, r.dup_chunks, r.removed_chunks,
+                              r.scrubbed_text)
+                   for r in Q.QUERIES["passage_dedup"](
+                       spark, "hyp").collect()}
+        assert got == Q.passage_dedup_py(docs), texts
+
+    check()
