@@ -35,6 +35,15 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+
+def _env() -> dict:
+    """Child env with REPO on PYTHONPATH so Spark Python workers (not just
+    the child driver) can import the package from any cwd."""
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    return env
+
 SYNTH = r"""
 import sys
 sys.path.insert(0, sys.argv[4])
@@ -128,7 +137,7 @@ def main() -> None:
             os.path.join(path, "documents.parquet", "_SUCCESS")):
         r = subprocess.run(
             [sys.executable, "-c", SYNTH, str(rep), src, path, REPO],
-            capture_output=True, text=True, timeout=1800)
+            capture_output=True, text=True, timeout=1800, env=_env())
         if r.returncode != 0:
             sys.stderr.write(r.stderr)
             raise SystemExit(1)
@@ -139,7 +148,8 @@ def main() -> None:
         return subprocess.Popen(
             [sys.executable, "-c", WORKER, str(cpus), path, str(shard),
              str(n_shards), REPO],
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_env())
 
     def harvest(p: subprocess.Popen) -> dict:
         out, err = p.communicate(timeout=3600)

@@ -16,7 +16,7 @@ import sys
 
 SYNTH = r"""
 import sys
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[4])  # repo root, passed by the parent
 n = int(sys.argv[1]); px = int(sys.argv[2]); path = sys.argv[3]
 from clj_nlp_parse_spark.session import get_spark
 from clj_nlp_parse_spark import synth
@@ -30,7 +30,7 @@ spark.stop()
 
 WORKER = r"""
 import json, sys, time, statistics, os
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[3])  # repo root, passed by the parent
 cpus = int(sys.argv[1]); path = sys.argv[2]
 # Production-shaped heap: on a real cluster every executor brings its own
 # memory, so the 4N leg has 4x the aggregate heap. local[] shares ONE heap
@@ -88,17 +88,35 @@ def synth_input(n: int, px: int = 96) -> str:
     path = f"{base}/spark_graft_scale_input_{n}_{px}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         r = subprocess.run([sys.executable, "-c", SYNTH, str(n), str(px),
-                            path], capture_output=True, text=True,
-                           timeout=1800)
+                            path, _root()], capture_output=True, text=True,
+                           timeout=1800, env=_env())
         if r.returncode != 0:
             sys.stderr.write(r.stderr)
             raise SystemExit(1)
     return path
 
 
+def _root() -> str:
+    import os
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _env() -> dict:
+    """Child env with the repo root on PYTHONPATH: the driver-side
+    sys.path insert does NOT reach Spark's Python workers (cloudpickled
+    closures import by reference there), so without this the harness only
+    works when cwd happens to be the repo root."""
+    import os
+    env = dict(os.environ)
+    env["PYTHONPATH"] = _root() + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else "")
+    return env
+
+
 def run(cpus: int, path: str) -> dict:
-    r = subprocess.run([sys.executable, "-c", WORKER, str(cpus), path],
-                       capture_output=True, text=True, timeout=1800)
+    r = subprocess.run([sys.executable, "-c", WORKER, str(cpus), path,
+                        _root()], capture_output=True, text=True,
+                       timeout=1800, env=_env())
     line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 

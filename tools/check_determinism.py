@@ -8,11 +8,12 @@ Usage: python tools/check_determinism.py [sf_dir]
 
 from __future__ import annotations
 
+import os
 import sys
 
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 

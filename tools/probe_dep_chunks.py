@@ -11,10 +11,11 @@ Usage: python tools/probe_dep_chunks.py [n_tokens] [n_docs]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
