@@ -166,3 +166,112 @@ def curation_decide_py(train: list[tuple], ev: list[tuple],
             reason = "admitted"
         out[doc_id] = (reason, reason == "admitted")
     return out
+
+
+def token_budget_select(tr: DataFrame, budget_num: int = 6,
+                        budget_den: int = 10, id_col: str = "doc_id",
+                        lang_col: str = "lang", text_col: str = "text",
+                        bins: int = 100_000) -> DataFrame:
+    """Token-budget selection (FineWeb/DCLM-style): admit the
+    highest-quality documents until a global BPE-token budget of
+    budget_num/budget_den of the corpus total is filled. The selection
+    rule — the spec the oracle replays — is: order docs by
+    (quality DESC, doc_id ASC) and admit while the running token sum
+    (inclusive) stays <= budget.
+
+    Scale shape (NO global sort of the corpus — the corpus_profile
+    histogram precedent): quality is quantized to integer bins
+    (floor(q*bins); double multiply + floor are monotone, so higher
+    quality can never land in a lower bin and equal qualities share a
+    bin). One map-side-combinable groupBy produces the per-bin token
+    histogram (<= bins+1 rows at ANY corpus size); a cumsum over that
+    tiny table (descending bins) yields, per bin, the tokens consumed
+    by strictly-better bins (__pre) and the corpus total — so each bin
+    is decided wholesale: fully admitted (pre+btok <= B), the single
+    boundary bin (pre <= B < pre+btok, remaining budget B-pre), or
+    dropped (broadcast-joined back, so full-bin admission is a pushed
+    filter). Only the boundary bin's docs get an ordered cumsum
+    (windowed by exact quality, doc_id) — bounded by one quantile
+    bin's population, not the corpus. Degenerate shape, documented:
+    a corpus where EVERY doc has identical quality collapses to one
+    bin and the boundary window inherits the spec's inherent ordering
+    cost; every other distribution pays only the tiny-table pass.
+    Integer token arithmetic throughout (budget = (total*num) div den)
+    keeps the decision bit-exact across engines.
+
+    Cost note: the histogram subtree and the join subtree each scan the
+    (pruned) corpus once — two scans total, the same shape as every
+    threshold-from-aggregate plan here (corpus_profile percentiles,
+    choose_pack_chunk_hex). A production run that already materializes
+    per-doc quality/token columns pays one scan of those instead."""
+    t = F.expr(f"coalesce({text_col}, '')").alias("__t")
+    s = (tr.select(F.col(id_col), F.col(lang_col), t,
+                   F.expr(dialect.tokens_expr(text_col, "spark"))
+                   .alias("__ws"))
+         .select(id_col, lang_col,
+                 F.expr(TS.quality_score_sql("__t", "__ws", "spark"))
+                 .alias("quality"),
+                 F.expr(TS.token_counts_sql("__t", "__ws", "spark")
+                        ["n_bpe_tokens"]).alias("n_bpe_tokens")))
+    return select_from_scored(s, budget_num, budget_den,
+                              id_col=id_col, lang_col=lang_col, bins=bins)
+
+
+def select_from_scored(scored: DataFrame, budget_num: int = 6,
+                       budget_den: int = 10, id_col: str = "doc_id",
+                       lang_col: str = "lang",
+                       bins: int = 100_000) -> DataFrame:
+    """The histogram-threshold selection over a frame that already
+    carries (id, lang, quality in [0,1], n_bpe_tokens) — the production
+    shape when per-doc quality/token columns are materialized, and the
+    surface the scale probe (tools/probe_budget.py) compares against a
+    naive global window."""
+    s = scored.withColumn(
+        "__bin", F.expr(f"cast(floor(quality * {bins}) as int)"))
+    hist = s.groupBy("__bin").agg(F.sum("n_bpe_tokens").alias("__btok"))
+    # tiny-table windows: <= bins+1 rows regardless of corpus size
+    wdesc = (Window.orderBy(F.col("__bin").desc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    d = (hist.select(
+            "__bin", "__btok",
+            F.coalesce(F.sum("__btok").over(wdesc), F.lit(0))
+            .alias("__pre"),
+            F.sum("__btok").over(Window.partitionBy()).alias("__tot"))
+         .withColumn("__b", F.expr(
+             f"(__tot * {budget_num}) div {budget_den}"))
+         .where(F.col("__pre") <= F.col("__b"))
+         .select("__bin",
+                 (F.col("__pre") + F.col("__btok") <= F.col("__b"))
+                 .alias("__full"),
+                 (F.col("__b") - F.col("__pre")).alias("__rem")))
+    j = s.join(F.broadcast(d), "__bin")
+    full = j.where("__full").select(id_col, lang_col, "quality",
+                                    "n_bpe_tokens")
+    wb = (Window.partitionBy("__bin")
+          .orderBy(F.col("quality").desc(), F.col(id_col))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    boundary = (j.where(~F.col("__full"))
+                .withColumn("__cum", F.sum("n_bpe_tokens").over(wb))
+                .where(F.col("__cum") <= F.col("__rem"))
+                .select(id_col, lang_col, "quality", "n_bpe_tokens"))
+    return full.unionByName(boundary)
+
+
+def token_budget_select_py(docs: list[tuple], budget_num: int = 6,
+                           budget_den: int = 10) -> list[tuple]:
+    """INDEPENDENT twin of token_budget_select over [(doc_id, lang,
+    text)]: the plain spec — sort by (quality desc, doc_id), admit while
+    the inclusive token cumsum stays within (total*num)//den. Returns
+    admitted (doc_id, lang, quality, n_bpe_tokens) sorted by doc_id."""
+    scored = []
+    for doc_id, lang, text in docs:
+        st = text_stats_py(text if text is not None else "")
+        scored.append((doc_id, lang, st["quality"], st["n_bpe_tokens"]))
+    budget = (sum(r[3] for r in scored) * budget_num) // budget_den
+    cum, out = 0, []
+    for r in sorted(scored, key=lambda r: (-r[2], r[0])):
+        cum += r[3]
+        if cum > budget:
+            break
+        out.append(r)
+    return sorted(out)

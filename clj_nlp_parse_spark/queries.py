@@ -3419,3 +3419,42 @@ def q_cosine_dedup_banded_derived(spark: SparkSession, sf_dir: str) -> DataFrame
     e = emb.select("vec_id", "embedding").unionByName(dups)
     out = SIM.cosine_dedup_pairs_banded(e, threshold=0.99, dim=64)
     return out.orderBy("id_a", "id_b")
+
+
+_TBS_TOKS = dialect.tokens_expr("text", "duck")
+_TBS_Q = TS.quality_score_sql("t", "ws", "duck")
+_TBS_BPE = TS.token_counts_sql("t", "ws", "duck")["n_bpe_tokens"]
+
+
+@register(
+    "token_budget_select",
+    f"""
+    WITH s0 AS (SELECT doc_id, lang, coalesce(text, '') AS t,
+                       {_TBS_TOKS} AS ws FROM documents),
+    s AS (SELECT doc_id, lang, {_TBS_Q} AS quality,
+                 {_TBS_BPE} AS n_bpe_tokens FROM s0),
+    tot AS (SELECT (SUM(n_bpe_tokens) * 6) // 10 AS b FROM s),
+    o AS (SELECT *, SUM(n_bpe_tokens) OVER (
+            ORDER BY quality DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM s)
+    SELECT doc_id, lang, quality,
+           CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens
+    FROM o, tot WHERE cum <= b ORDER BY doc_id""",
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection — admit the highest-quality docs until 60%
+    of the corpus's BPE tokens are filled. The ORACLE is the plain spec
+    (global ORDER BY quality DESC, doc_id + inclusive running token sum);
+    the Spark side NEVER sorts the corpus: a quantized-quality histogram
+    (tiny agg) is cumsum'd to decide whole bins via a broadcast join, and
+    only the single boundary bin pays an ordered window (curation.py
+    token_budget_select — the corpus_profile histogram-threshold
+    precedent). Integer budget arithmetic keeps both engines bit-exact;
+    twin: token_budget_select_py (tests/test_fuzz_parity.py)."""
+    from clj_nlp_parse_spark.operators import curation as CU
+    out = CU.token_budget_select(_docs(spark, sf_dir))
+    return (out.select("doc_id", "lang", "quality",
+                       F.col("n_bpe_tokens").cast("long")
+                       .alias("n_bpe_tokens"))
+            .orderBy("doc_id"))

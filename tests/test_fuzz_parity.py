@@ -1455,3 +1455,97 @@ def test_passage_dedup_twin_hypothesis(spark):
         assert got == Q.passage_dedup_py(docs), texts
 
     check()
+
+
+def _tbs_docs(seed: int, n: int) -> list[tuple]:
+    """Corpus for token-budget fuzz: quality varies via length / alpha /
+    stopword mix; deliberate duplicates create quality ties straddling
+    the boundary; empty / None texts give zero-token rows."""
+    rnd = random.Random(seed)
+    stop = ["the", "and", "of", "to", "is", "in", "it", "that"]
+    docs: list[tuple] = []
+    for i in range(n):
+        kind = rnd.random()
+        if kind < 0.05:
+            text = None
+        elif kind < 0.10:
+            text = ""
+        elif kind < 0.25 and docs:
+            text = rnd.choice(docs)[2]  # duplicate -> exact quality tie
+        else:
+            nw = rnd.randint(1, 60)
+            ws = [rnd.choice(stop) if rnd.random() < 0.4 else
+                  "".join(rnd.choice(string.ascii_lowercase + "019,.!")
+                          for _ in range(rnd.randint(1, 11)))
+                  for _ in range(nw)]
+            text = " ".join(ws)
+        lang = rnd.choice(["en", "fr", None])
+        docs.append((i * 3 + 1, lang, text))
+    return docs
+
+
+def test_token_budget_select_python_twin(spark):
+    """token_budget_select_py restates the registered query as plain
+    sort + cumsum; the Spark histogram-threshold decomposition (whole
+    bins by broadcast decision, ordered window only inside the boundary
+    bin) must reproduce the spec's admitted SET exactly — including
+    quality ties at the boundary (duplicate texts, doc_id tiebreak) and
+    zero-token rows sitting past the crossing point."""
+    import unittest.mock as mock
+
+    from clj_nlp_parse_spark import queries as Q
+    from clj_nlp_parse_spark.operators import curation as CU
+
+    for seed in (7, 99):
+        docs = _tbs_docs(seed, 120)
+        sdf = spark.createDataFrame(
+            docs, "doc_id long, lang string, text string")
+        with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+            got = [(r.doc_id, r.lang, r.quality, r.n_bpe_tokens)
+                   for r in Q.QUERIES["token_budget_select"](
+                       spark, "twin").collect()]
+        want = CU.token_budget_select_py(docs)
+        assert got == want
+        # non-vacuous: a strict subset was admitted, and it is the
+        # top-quality prefix (min admitted quality >= max rejected
+        # quality cannot be asserted with ties — assert the budget
+        # instead)
+        assert 0 < len(want) < len(docs)
+        total = sum(CU.text_stats_py(t or "")["n_bpe_tokens"]
+                    for _, _, t in docs)
+        assert sum(r[3] for r in want) <= (total * 6) // 10
+
+
+def test_token_budget_select_degenerate_and_edges(spark):
+    """The shapes that break histogram thresholds: (a) EVERY doc has
+    identical quality -> one bin, the whole corpus is the boundary bin
+    and the window must honor the doc_id tiebreak; (b) bins=1 forces the
+    decomposition into the boundary path on a mixed corpus; (c) budget
+    0 admits nothing; (d) budget 10/10 admits everything."""
+    from clj_nlp_parse_spark.operators import curation as CU
+
+    same = [(i, "en", "alpha beta gamma delta") for i in range(40)]
+    sdf = spark.createDataFrame(
+        same, "doc_id long, lang string, text string")
+    got = sorted(
+        (r.doc_id, r.lang, r.quality, r.n_bpe_tokens)
+        for r in CU.token_budget_select(sdf).collect())
+    assert got == CU.token_budget_select_py(same)
+    # identical quality + identical tok -> budget cuts on doc_id order
+    assert [r[0] for r in got] == [r[0] for r in same][:len(got)]
+    assert 0 < len(got) < len(same)
+
+    mixed = _tbs_docs(11, 80)
+    mdf = spark.createDataFrame(
+        mixed, "doc_id long, lang string, text string")
+    coarse = sorted(
+        (r.doc_id, r.lang, r.quality, r.n_bpe_tokens)
+        for r in CU.token_budget_select(mdf, bins=1).collect())
+    assert coarse == CU.token_budget_select_py(mixed)
+
+    assert CU.token_budget_select(mdf, budget_num=0).count() == 0
+    assert CU.token_budget_select_py(mixed, budget_num=0) == []
+    n_all = CU.token_budget_select(mdf, budget_num=10).count()
+    assert n_all == len(mixed)
+    assert len(CU.token_budget_select_py(mixed, budget_num=10)) \
+        == len(mixed)
