@@ -1549,3 +1549,34 @@ def test_token_budget_select_degenerate_and_edges(spark):
     assert n_all == len(mixed)
     assert len(CU.token_budget_select_py(mixed, budget_num=10)) \
         == len(mixed)
+
+
+def test_token_budget_twin_hypothesis(spark):
+    """Hypothesis-driven (shrinking) variant of the token-budget twin:
+    tiny-vocab soups where most docs share exact quality values — the
+    boundary bin is all ties and the doc_id tiebreak decides admission —
+    plus empty docs (zero tokens) interleaved everywhere."""
+    import unittest.mock as mock
+
+    from hypothesis import given, settings, strategies as st
+
+    from clj_nlp_parse_spark import queries as Q
+    from clj_nlp_parse_spark.operators import curation as CU
+
+    token = st.sampled_from(["a", "the", "b,"])
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.one_of(
+        st.none(), st.lists(token, max_size=6).map(" ".join)),
+        min_size=2, max_size=10))
+    def check(texts):
+        docs = [(i, "en", t) for i, t in enumerate(texts)]
+        sdf = spark.createDataFrame(
+            docs, "doc_id long, lang string, text string")
+        with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+            got = [(r.doc_id, r.lang, r.quality, r.n_bpe_tokens)
+                   for r in Q.QUERIES["token_budget_select"](
+                       spark, "hyp").collect()]
+        assert got == CU.token_budget_select_py(docs), texts
+
+    check()
