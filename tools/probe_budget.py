@@ -31,13 +31,17 @@ from clj_nlp_parse_spark.session import get_spark
 BINS = 100_000
 
 
-def synth_scored(spark, n):
-    # uniform quality in [0,1) from a hash; tokens 1..512; 3 langs
+def synth_scored(spark, n, const=False):
+    # uniform quality in [0,1) from a hash (const=False) or one identical
+    # value for EVERY doc (const=True — the single-bin degenerate where
+    # the whole corpus IS the boundary bin); tokens 1..512; 3 langs
+    q = (F.lit(0.5).cast("double") if const else
+         (F.pmod(F.xxhash64("id"), F.lit(1_000_000)).cast("double")
+          / 1_000_000.0))
     return spark.range(n).select(
         F.col("id").alias("doc_id"),
         F.concat(F.lit("l"), (F.col("id") % 3).cast("string")).alias("lang"),
-        (F.pmod(F.xxhash64("id"), F.lit(1_000_000)).cast("double")
-         / 1_000_000.0).alias("quality"),
+        q.alias("quality"),
         (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(512)) + 1).cast("long")
         .alias("n_bpe_tokens"))
 
@@ -63,10 +67,10 @@ def run(fn, s, label):
     return dt
 
 
-def probe(spark, n):
-    s = synth_scored(spark, n).cache()
+def probe(spark, n, const=False):
+    s = synth_scored(spark, n, const=const).cache()
     s.count()
-    print(f"n={n}")
+    print(f"n={n}{' (constant quality — single-bin degenerate)' if const else ''}")
     t_new = run(lambda d: select_from_scored(d, bins=BINS), s,
                 "histogram-threshold (shipped)")
     t_old = run(naive_select, s, "naive global window")
@@ -93,8 +97,12 @@ def main():
                       shuffle_partitions=32)
     ok1 = probe(spark, n)
     ok2 = probe(spark, 4 * n)
+    # degenerate: identical quality everywhere -> one bin, the boundary
+    # window covers the corpus; must stay CORRECT and no worse than the
+    # naive plan it collapses to
+    ok3 = probe(spark, n, const=True)
     spark.stop()
-    sys.exit(0 if (ok1 and ok2) else 1)
+    sys.exit(0 if (ok1 and ok2 and ok3) else 1)
 
 
 if __name__ == "__main__":
