@@ -45,7 +45,7 @@ HEADLINE = [
     # corpus_mix stays registered as the exact-rank oracle baseline; the
     # zero-shuffle hash-threshold variant is the headline scale path
     "corpus_mix_consistent", "passage_dedup", "passage_dedup_incremental",
-    "leakage_safe_split", "token_budget_select",
+    "leakage_safe_split", "token_budget_select", "token_budget_mix",
     # image_feature_materialization is NOT in this loop: its REGISTERED
     # form (synth → decode → materialize-to-parquet → read-back → as-of)
     # is timed separately below as *_query, while the dedicated flagship

