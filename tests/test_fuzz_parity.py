@@ -1620,3 +1620,35 @@ def test_token_budget_mix_python_twin(spark):
         for r in CU.token_budget_mix(zdf).collect())
     assert zgot == CU.token_budget_mix_py(zdocs)
     assert len(zgot) == 3
+
+
+def test_token_budget_mix_twin_hypothesis(spark):
+    """Hypothesis-shrunk variant for the stratified budget: tiny-vocab
+    soups spread over two named strata plus NULL lang, so per-stratum
+    boundary ties, empty strata, and the all-zero-token ts=0 edge all
+    shrink to minimal counterexamples."""
+    import unittest.mock as mock
+
+    from hypothesis import given, settings, strategies as st
+
+    from clj_nlp_parse_spark import queries as Q
+    from clj_nlp_parse_spark.operators import curation as CU
+
+    token = st.sampled_from(["a", "the", "b,"])
+    doc = st.tuples(
+        st.sampled_from(["en", "fr", None]),
+        st.one_of(st.none(), st.lists(token, max_size=6).map(" ".join)))
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc, min_size=2, max_size=10))
+    def check(pairs):
+        docs = [(i, lang, t) for i, (lang, t) in enumerate(pairs)]
+        sdf = spark.createDataFrame(
+            docs, "doc_id long, lang string, text string")
+        with mock.patch.object(Q, "_docs", lambda _s, _d: sdf):
+            got = [(r.doc_id, r.lang, r.quality, r.n_bpe_tokens)
+                   for r in Q.QUERIES["token_budget_mix"](
+                       spark, "hyp").collect()]
+        assert got == CU.token_budget_mix_py(docs), docs
+
+    check()
