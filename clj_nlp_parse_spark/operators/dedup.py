@@ -366,9 +366,20 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     Iterative-algorithm hygiene: the edge list is localCheckpoint()ed ONCE
     up front (otherwise EVERY round recomputes the upstream candidate-pair
     pipeline — measured 22.8 s → 9.5 s on the sf0.1 dedup_groups bench),
-    and labels are checkpointed each round so the convergence count and the
+    and labels are checkpointed each round so the convergence check and the
     next round's join share one materialization instead of growing lineage
     (labels are small: one (node, component) row per non-singleton node).
+
+    r6 optimizations (guide §2.4 — fewer jobs/shuffles per fixpoint round):
+      * round 0 is FUSED into one aggregation: with identity labels the
+        first min-label propagation is just min({u} ∪ neighbors(u)) —
+        groupBy(u).least(u, min(v)) over the symmetric edge list, no
+        edges×labels join and no identity-labels checkpoint;
+      * the per-round changed-count JOIN is gone: labels are monotonically
+        non-increasing per node (the min includes the node's own previous
+        label; the jump maps a label to one ≤ it), so the exact decimal
+        SUM of labels strictly decreases iff any node changed — one
+        scan-only aggregate on the checkpointed labels per round.
 
     Returns (node, component) — component = min node id reachable.
     """
@@ -377,10 +388,29 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                  pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
              .distinct()
              .localCheckpoint())
-    labels = (edges.select(F.col("u").alias("node"))
-              .distinct()
-              .withColumn("component", F.col("node"))
-              .localCheckpoint())
+
+    def jump(stepped):
+        # pointer jump: component ← component's component (labels form a
+        # forest pointing at smaller ids, so one hop halves chain depth;
+        # every component value IS a node, so the self-join always hits)
+        ptr = stepped.select(F.col("node").alias("component"),
+                             F.col("component").alias("cc"))
+        return (stepped.join(ptr, "component", "left")
+                .select("node",
+                        F.coalesce("cc", "component").alias("component")))
+
+    def label_sum(lbl):
+        # decimal(38,0): exact at any node-id magnitude (a bigint sum
+        # could overflow at web-corpus node counts)
+        row = lbl.agg(F.sum(F.col("component").cast("decimal(38,0)"))
+                      .alias("s")).collect()[0]
+        return row["s"]
+
+    labels = jump(
+        edges.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("component"))
+        .select(F.col("u").alias("node"), "component")).localCheckpoint()
+    prev_sum = label_sum(labels)
     for i in range(max_iter):
         prop = (edges.join(labels,
                            edges["u"] == labels["node"], "inner")
@@ -388,23 +418,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         stepped = (prop.unionByName(labels)
                    .groupBy("node")
                    .agg(F.min("component").alias("component")))
-        # pointer jump: component ← component's component (labels form a
-        # forest pointing at smaller ids, so one hop halves chain depth;
-        # every component value IS a node, so the self-join always hits)
-        ptr = stepped.select(F.col("node").alias("component"),
-                             F.col("component").alias("cc"))
-        new_labels = (stepped.join(ptr, "component", "left")
-                      .select("node",
-                              F.coalesce("cc", "component")
-                              .alias("component"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .count())
-        labels = new_labels
-        if changed == 0:
+        labels = jump(stepped).localCheckpoint()
+        cur_sum = label_sum(labels)
+        if cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         f"(graph diameter > 2^{max_iter}) — raise max_iter")
