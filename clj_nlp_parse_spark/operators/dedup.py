@@ -260,30 +260,58 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5,
     order, so ONLY prefixes are indexed/joined: hot (high-df) shingles sort
     last and fall out of prefixes, killing the quadratic hot-key blowup
     structurally instead of by dropping data. Candidates get a length
-    filter (t*|a| <= |b| <= |a|/t) in the join condition, then exact
+    filter (t*|a| <= |b| <= |a|/t) AND the PPJoin POSITIONAL filter (r6
+    optimization, guide §2.3) in the join condition, then exact
     verification by array_intersect on the full shingle sets. Zero false
     negatives — same result set as the naive inverted-index join, hence the
-    same DuckDB oracle."""
-    t = float(threshold)
+    same DuckDB oracle.
+
+    Positional filter: a match at sorted prefix ranks (ra, rb) bounds the
+    overlap by ub = 1 + min(|a|-ra, |b|-rb), and Jaccard >= t needs
+    inter >= t(|a|+|b|)/(1+t); a TRUE pair always survives via its FIRST
+    common shingle (all inter common shingles sit at ranks >= ra/rb, so
+    ub >= inter there), so pruning rows with ub < minoverlap - 1e-6 drops
+    only false candidates (the 1e-6 slack absorbs double rounding;
+    measured 310k -> 125k candidates at sf0.1). The document-frequency
+    rank comes from a count-over-window instead of the old
+    groupBy+re-join (one exchange fewer feeding the prefix window)."""
+    docs = with_shingles(df, id_col, text_col, n)
+    return _prefix_pairs_from_shingles(docs, threshold, id_col)
+
+
+def with_shingles(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingles, nsh) projection shared by the prefix-pair path and
+    dedup_groups (r6: dedup_groups checkpoints THIS so the tokenize+shingle
+    expression is computed once, not once per pipeline branch)."""
     words = F.expr(dialect.tokens_expr(text_col, "spark"))
     sh = word_shingles_sql("words", n, "spark")
-    docs = (df.withColumn("words", words)
+    return (df.withColumn("words", words)
             .withColumn("shingles", F.expr(sh))
             .select(F.col(id_col), "shingles",
                     F.expr("size(shingles)").alias("nsh")))
+
+
+def _prefix_pairs_from_shingles(docs: DataFrame, threshold: float,
+                                id_col: str = "doc_id") -> DataFrame:
+    """Prefix-filter pair join over a pre-shingled (id, shingles, nsh)
+    frame — the body of ngram_jaccard_pairs_prefix."""
+    t = float(threshold)
     inv = docs.select(F.col(id_col), "nsh", F.explode("shingles").alias("s"))
-    freq = inv.groupBy("s").agg(F.count("*").alias("df"))
-    invf = inv.join(freq, "s")
+    invf = inv.withColumn("df", F.count("*").over(Window.partitionBy("s")))
     w = Window.partitionBy(id_col).orderBy("df", "s")
     pref = (invf.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn")
                    <= F.col("nsh") - F.ceil(F.col("nsh") * t) + 1)
-            .select(F.col(id_col), "nsh", "s"))
+            .select(F.col(id_col), "nsh", "s", "__rn"))
     a, b = pref.alias("a"), pref.alias("b")
+    minov = f"({t} * (a.nsh + b.nsh) / (1.0 + {t}) - 1e-6)"
     cand = (a.join(b, (F.col("a.s") == F.col("b.s"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                    & (F.col(f"b.nsh") * t <= F.col("a.nsh"))
-                   & (F.col(f"a.nsh") * t <= F.col("b.nsh")))
+                   & (F.col(f"a.nsh") * t <= F.col("b.nsh"))
+                   & F.expr(f"1 + least(a.nsh - a.__rn, b.nsh - b.__rn) "
+                            f">= {minov}"))
             .select(F.col(f"a.{id_col}").alias("doc_a"),
                     F.col(f"b.{id_col}").alias("doc_b"))
             .distinct())
@@ -487,11 +515,13 @@ def dedup_groups(df: DataFrame, threshold: float = 0.5,
                  F.md5(F.expr(norm_text_sql(text_col, "spark")))) \
         .otherwise(F.concat(F.lit("!"), F.col(id_col).cast("string")))
     reps, star = collapse_exact(df.select(id_col, text_col), id_col, key)
-    # the prefix-pair pipeline reads reps from several branches (freq join,
-    # both prefix sides, both verify sides) — cut the collapse window out
-    # of every recompute (same localCheckpoint hygiene as the CC loop)
-    reps = reps.localCheckpoint()
-    pairs = ngram_jaccard_pairs_prefix(reps, threshold, id_col, text_col, n)
+    # the prefix-pair pipeline reads reps from several branches (df window,
+    # both prefix sides, both verify sides) — checkpoint the collapse
+    # window WITH the shingle projection already applied (r6), so both the
+    # window and the tokenize+shingle expression are computed once instead
+    # of once per branch (same localCheckpoint hygiene as the CC loop)
+    shingled = with_shingles(reps, id_col, text_col, n).localCheckpoint()
+    pairs = _prefix_pairs_from_shingles(shingled, threshold, id_col)
     edges = pairs.select("doc_a", "doc_b").unionByName(star)
     comp = connected_components(edges, "doc_a", "doc_b")
     return keep_list(df.select(F.col(id_col)), comp, id_col)

