@@ -75,3 +75,25 @@ def go_word_forms_col(toks: str = "toks", form: str = "word") -> Column:
     """go-word-forms (reference stopword.clj:40-50): filter go words,
     project canonical form (default lower text; alt 'lemma')."""
     return F.expr(f"transform(filter({toks}, x -> x.is_go), x -> x.{form})")
+
+
+def go_word_forms_from_words_sql(words: str = "words",
+                                 form: str = "word") -> str:
+    """go-word-forms computed DIRECTLY from the word array (r6
+    optimization, guide §2.3 'project early'): callers that only need go
+    forms paid the full 7-field annotate() struct per token (POS + lemma +
+    3 stopword/go flags) because column pruning cannot reach inside a HOF
+    lambda. This renders only the predicate (stopword + POS-in-go-tags,
+    exactly is_go's definition) and, for form='lemma', only the lemma CASE
+    on the survivors — same output as
+    transform(filter(toks, x.is_go), x.{form})."""
+    from clj_nlp_parse_spark import dialect, schema
+    pos = dialect.pos_case_expr("gwt", "spark")
+    stop = dialect.stopword_cond("gwt")
+    tags = ", ".join("'" + x.replace("'", "''") + "'"
+                     for x in schema.GO_POS_TAGS)
+    kept = f"filter({words}, gwt -> (NOT ({stop}) AND ({pos}) IN ({tags})))"
+    if form == "word":
+        return kept
+    lemma = dialect.lemma_case_expr("gwt", "spark")
+    return f"transform({kept}, gwt -> ({lemma}))"

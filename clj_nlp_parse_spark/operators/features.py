@@ -46,12 +46,18 @@ def pos_tag_feature_cols(toks: str = "toks") -> list[Column]:
 
 
 def token_feature_cols(text_col: str = "text", toks: str = "toks",
-                       mentions: str | None = None) -> list[Column]:
+                       mentions: str | None = None,
+                       word_of: str = "x.word") -> list[Column]:
     """Doc-level stats (F14): utterance-length, token-count, sent-count,
     mention-count, token-average-length (exact ratio → double),
     is-question — the FULL token-count-features surface the metas declare
     (reference README.md:269-291); mention_count is 0 when the caller has
-    no mention source (no NER ran — the reference's empty-mentions case)."""
+    no mention source (no NER ran — the reference's empty-mentions case).
+
+    `word_of`: how to read the word from one element `x` of `toks` —
+    'x.word' for annotated structs, 'x' for a plain word array (r6: the
+    doc-stats path only needs word lengths, so it passes the word array
+    and skips the full annotate() struct)."""
     tc = F.expr(f"size({toks})")
     sc = F.expr(f"size({sentence_words_sql(text_col, 'spark')})")
     mc = (F.expr(f"size({mentions})") if mentions is not None
@@ -62,7 +68,7 @@ def token_feature_cols(text_col: str = "text", toks: str = "toks",
         sc.cast("long").alias("sent_count"),
         mc.cast("long").alias("mention_count"),
         F.when(tc == 0, F.lit(0.0)).otherwise(
-            F.expr(f"aggregate({toks}, 0L, (a, x) -> a + length(x.word))")
+            F.expr(f"aggregate({toks}, 0L, (a, x) -> a + length({word_of}))")
             .cast("double") / tc.cast("double")
         ).alias("token_average_length"),
         F.expr(f"rtrim({text_col}) LIKE '%?'").alias("is_question"),
@@ -112,8 +118,11 @@ def pos_tag_features(df: DataFrame, id_col: str = "doc_id",
 
 def token_features(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
-    ann = tx.annotate(df, text_col)
-    return ann.select(F.col(id_col), *token_feature_cols(text_col, "toks"))
+    # r6: doc stats only need the word array (token count + lengths), not
+    # the 7-field annotate() struct — ~4x at sf0.1
+    ann = df.withColumn("words", tx.words_col(text_col))
+    return ann.select(F.col(id_col),
+                      *token_feature_cols(text_col, "words", word_of="x"))
 
 
 # ------------------------------------------------------------------ sentiment

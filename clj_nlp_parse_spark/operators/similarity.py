@@ -242,15 +242,56 @@ def cell_expr(vec_col: str, cents: list[list[float]], d: str = "spark") -> str:
             f"z -> list_position(z, list_max(z)))[1]")
 
 
-def _probe_cells_expr(vec_col: str, cents: list[list[float]],
-                      nprobe: int) -> str:
-    """Top-nprobe cell ids by dot, descending (Spark only; ties → lower id).
-    Struct sort on (-dot, id) gives the deterministic probe order."""
-    dots = _centroid_dots_expr(vec_col, cents, "spark")
-    return (f"try_element_at(transform(array({dots}), z -> "
-            f"slice(transform(array_sort(transform(z, (d, i) -> "
-            f"named_struct('negd', -d, 'i', i + 1))), s -> s.i), "
-            f"1, {nprobe})), 1)")
+def _assign_cells_arrow(vectors: DataFrame, cents: list[list[float]],
+                        id_col: str, vec_col: str,
+                        nprobe: int = 1) -> DataFrame:
+    """IVF coarse quantization as one Arrow batch stage (r6 optimization,
+    guide §4.2): the old cell_expr wrapped n_cells unrolled 64-term dots
+    in a transform() let-binding — a CodegenFallback HOF, interpreted per
+    row (and unrolling without the HOF exceeds the JVM JIT's 8 KB method
+    ceiling). The numpy scorer accumulates dots dimension-by-dimension
+    (dots[:, k] += v[:, j] * C[k, j] for j left-to-right), replaying the
+    SQL sum's exact IEEE sequence per (row, cell), and argmax returns the
+    FIRST max — identical to array_position(z, array_max(z)). The DuckDB
+    oracle keeps the unrolled cell_expr rendering, so cell assignments are
+    oracle-gated bit-for-bit.
+
+    nprobe > 1 (the query side): emits nprobe rows per input row, cells
+    ordered by (dot desc, cell asc) — a stable argsort of -dots, the same
+    tie order as the old _probe_cells_expr struct sort."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    C = np.array(cents, dtype=np.float64)
+    n_cells, dim = C.shape
+
+    def assign(batches):
+        for batch in batches:
+            n = len(batch)
+            v = (batch.column(vec_col).flatten()
+                 .to_numpy(zero_copy_only=False).reshape(n, dim))
+            dots = np.zeros((n, n_cells), dtype=np.float64)
+            for j in range(dim):
+                dots += v[:, j].astype(np.float64)[:, None] * C[None, :, j]
+            if nprobe == 1:
+                cell = (dots.argmax(axis=1) + 1).astype(np.int32)
+                ids, vecs = batch.column(id_col), batch.column(vec_col)
+            else:
+                order = np.argsort(-dots, axis=1, kind="stable")
+                cell = (order[:, :nprobe] + 1).astype(np.int32).reshape(-1)
+                take = pa.array(np.repeat(np.arange(n), nprobe))
+                ids = batch.column(id_col).take(take)
+                vecs = batch.column(vec_col).take(take)
+            yield pa.record_batch(
+                [ids, vecs, pa.array(cell, type=pa.int32())],
+                names=[id_col, vec_col, "__cell"])
+
+    inp = vectors.select(id_col, vec_col)
+    out_schema = T.StructType(
+        [inp.schema[id_col], inp.schema[vec_col],
+         T.StructField("__cell", T.IntegerType())])
+    return inp.mapInArrow(assign, out_schema)
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
@@ -278,10 +319,8 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
         n_cells = choose_ivf_cells(
             n_vectors if n_vectors is not None else vectors.count())
     cents = _centroids(dim, n_cells)
-    vb = vectors.withColumn("__cell", F.expr(cell_expr(vec_col, cents)))
-    qb = queries.withColumn(
-        "__cell",
-        F.explode(F.expr(_probe_cells_expr(qvec_col, cents, nprobe))))
+    vb = _assign_cells_arrow(vectors, cents, id_col, vec_col)
+    qb = _assign_cells_arrow(queries, cents, qid_col, qvec_col, nprobe)
     j = vb.join(F.broadcast(qb), "__cell")
     scored = j.select(
         F.col(qid_col), F.col(id_col),

@@ -59,10 +59,13 @@ class WordCountFeaturizer:
     text_col: str = "text"
 
     def fit(self, df: DataFrame) -> WordCountModel:
-        ann = tx.annotate(df, self.text_col)
+        # r6: go forms straight from the word array — the full annotate()
+        # struct computed POS+lemma+3 flags per token this path never read
+        ann = df.withColumn("words", tx.words_col(self.text_col))
         gw = ann.select(
             F.col(self.label_col).alias("label"),
-            F.explode(tx.go_word_forms_col("toks", self.form)).alias("word"),
+            F.explode(F.expr(tx.go_word_forms_from_words_sql(
+                "words", self.form))).alias("word"),
         )
         counts = gw.groupBy("label", "word").agg(F.count("*").alias("c"))
         w = Window.partitionBy("label").orderBy(F.desc("c"), F.asc("word"))
@@ -80,8 +83,16 @@ class WordCountFeaturizer:
                   id_col: str = "doc_id") -> DataFrame:
         """Wide output: word_count_<label> double columns (F10 shape,
         label-count-score-features, word_count.clj:79-92)."""
-        ann = tx.annotate(df, self.text_col)
-        forms = F.expr(f"transform(toks, x -> x.{model.form})")
+        # r6: scoring reads ALL token forms — for form='word' that IS the
+        # word array; for 'lemma' only the lemma CASE is needed. The old
+        # annotate() computed the full 7-field struct per token.
+        ann = df.withColumn("words", tx.words_col(self.text_col))
+        if model.form == "word":
+            forms = F.col("words")
+        else:
+            from clj_nlp_parse_spark import dialect
+            lemma = dialect.lemma_case_expr("gwt", "spark")
+            forms = F.expr(f"transform(words, gwt -> ({lemma}))")
         out_cols = [F.col(id_col)]
         tmp = ann.withColumn("__forms", forms)
         for lab in model.labels():

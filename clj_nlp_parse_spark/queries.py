@@ -610,10 +610,11 @@ def q_word_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's tie order was map-iteration-dependent, SURVEY §2.5 F8),
     normalized by the top-N sum. Two hash aggs + one label-window."""
     from pyspark.sql import Window
-    ann = tx.annotate(_docs(spark, sf_dir))
+    ann = _docs(spark, sf_dir).withColumn("words", tx.words_col("text"))
     gw = ann.select(
         F.col("lang").alias("label"),
-        F.explode(tx.go_word_forms_col("toks", "word")).alias("word"))
+        F.explode(F.expr(tx.go_word_forms_from_words_sql("words", "word")))
+        .alias("word"))
     counts = gw.groupBy("label", "word").agg(F.count("*").alias("c"))
     w = Window.partitionBy("label").orderBy(F.desc("c"), F.asc("word"))
     topn = (counts.withColumn("rn", F.row_number().over(w))

@@ -100,7 +100,10 @@ def test_ivf_topk_broadcast_probe_no_cartesian(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # quantization is pure codegen — no Python stage anywhere
+    # quantization is the DECLARED Arrow batch stage (r6,
+    # similarity._assign_cells_arrow) — one per side, and no
+    # row-at-a-time Python anywhere
+    assert plan.count("MapInArrow") == 2
     assert "ArrowEval" not in plan and "BatchEvalPython" not in plan
 
 

@@ -24,7 +24,8 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 # cosine pair verification, similarity._cosine_arrow_fn)
 ARROW_OK = {"image_feature_materialization", "asof_join_merge",
             "cosine_dedup_pairs", "cosine_dedup_banded",
-            "cosine_dedup_banded_derived", "embedding_dedup_groups"}
+            "cosine_dedup_banded_derived", "embedding_dedup_groups",
+            "ivf_topk"}
 
 
 def main() -> None:
