@@ -143,6 +143,94 @@ def simhash_sql(hs: str, bits: int, d: str) -> str:
 
 
 # ------------------------------------------------------------ Spark operators
+def _hash_segments(col):
+    """(flat int64 values, per-row lengths, offsets) from an Arrow list
+    column — shared by the minhash/simhash batch kernels."""
+    import numpy as np
+    import pyarrow.compute as pc
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offs[1:])
+    return flat, lengths, offs
+
+
+def _minhash_arrow_fn(id_col: str):
+    """mapInArrow kernel for the K min-hash permutations (r6 optimization,
+    guide §4.2): the SQL form ran K=16 interpreted array folds per row
+    (aggregate/transform are CodegenFallback); this computes
+    min((a_i*h + b_i) % MOD) per permutation with vectorized segment
+    reductions. Integer arithmetic is exact (a*h + b < 2^62 fits int64,
+    operands non-negative so numpy % == SQL %), so signatures are
+    bit-identical to the DuckDB oracle rendering."""
+    import numpy as np
+    import pyarrow as pa
+    A = np.array(MINHASH_A, dtype=np.int64)
+    B = np.array(MINHASH_B, dtype=np.int64)
+
+    def sig(batches):
+        for batch in batches:
+            n = len(batch)
+            if n == 0:
+                continue
+            flat, lengths, offs = _hash_segments(batch.column("__hs"))
+            empty = lengths == 0
+            outs = []
+            # reduceat quirks: an empty segment (offs[i] == offs[i+1])
+            # returns vals[offs[i]] instead of the identity (masked out
+            # below), and a trailing empty segment would put len(vals)
+            # itself in the index list — appending ONE identity element
+            # keeps every index valid WITHOUT clipping (clipping an index
+            # shrinks the PREVIOUS row's segment — a real bug the fuzz
+            # suite caught). The sentinel only ever joins the LAST row's
+            # reduction, where the identity is a no-op.
+            for i in range(MINHASH_K):
+                vals = (A[i] * flat + B[i]) % MINHASH_MOD
+                ext = np.concatenate(
+                    [vals, np.array([MINHASH_MOD], dtype=np.int64)])
+                mins = np.minimum.reduceat(ext, offs[:-1])
+                mins = np.where(empty, MINHASH_MOD, mins)
+                outs.append(pa.array(mins, type=pa.int64()))
+            yield pa.record_batch(
+                [batch.column(id_col)] + outs,
+                names=[id_col] + [f"mh_{i}" for i in range(MINHASH_K)])
+
+    return sig
+
+
+def _simhash_arrow_fn(id_col: str, bits: int):
+    """mapInArrow kernel for simhash (r6, guide §4.2): the SQL form ran
+    `bits` interpreted folds per row; this does one signed popcount per
+    bit plane with segment sums. Pure int64 arithmetic — bit-identical
+    to the SQL/DuckDB rendering (empty rows sum to 0 per plane → 0)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def sh(batches):
+        for batch in batches:
+            n = len(batch)
+            if n == 0:
+                continue
+            flat, lengths, offs = _hash_segments(batch.column("__hs"))
+            empty = lengths == 0
+            res = np.zeros(n, dtype=np.int64)
+            # identity-sentinel append — see _minhash_arrow_fn on why
+            # indices must not be clipped
+            for k in range(bits):
+                signed = 2 * ((flat >> k) & 1) - 1
+                ext = np.concatenate(
+                    [signed, np.array([0], dtype=np.int64)])
+                s = np.add.reduceat(ext, offs[:-1])
+                s = np.where(empty, 0, s)
+                res += np.where(s > 0, np.int64(1) << k, 0)
+            yield pa.record_batch(
+                [batch.column(id_col), pa.array(res, type=pa.int64())],
+                names=[id_col, "simhash"])
+
+    return sh
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact dedup: md5 of normalized text; keep = smallest id per group."""
@@ -155,21 +243,21 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3) -> DataFrame:
+    """Shingle hashes stay JVM-side (md5 is codegen-able and must match
+    the engine hash); the K=16 permutation mins run in the declared Arrow
+    batch kernel (r6 — the old let-bound SQL form was 16 interpreted
+    folds per row)."""
+    from pyspark.sql import types as T
     words = F.expr(dialect.tokens_expr(text_col, "spark"))
     sh = word_shingles_sql("words", n, "spark")
-    # let-binding: hs evaluated once per row; the 16 permutations read the
-    # bound variable instead of re-hashing (see tag_mentions PERF note)
-    sigs = minhash_sig_sql("z.hs", "spark")
-    struct_fields = ", ".join(f"'mh_{i}', ({s})" for i, s in enumerate(sigs))
-    let_expr = (f"try_element_at(transform(array(named_struct('hs', "
-                f"{shingle_hashes_sql('shingles', 'spark')})), "
-                f"z -> named_struct({struct_fields})), 1)")
     d = (df.withColumn("words", words)
          .withColumn("shingles", F.expr(sh))
-         .withColumn("__sig", F.expr(let_expr)))
-    return d.select(
-        F.col(id_col),
-        *[F.col(f"__sig.mh_{i}").alias(f"mh_{i}") for i in range(MINHASH_K)])
+         .withColumn("__hs", F.expr(shingle_hashes_sql("shingles", "spark")))
+         .select(F.col(id_col), "__hs"))
+    out_schema = T.StructType(
+        [d.schema[id_col]] + [T.StructField(f"mh_{i}", T.LongType())
+                              for i in range(MINHASH_K)])
+    return d.mapInArrow(_minhash_arrow_fn(id_col), out_schema)
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -201,12 +289,17 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = 32) -> DataFrame:
+    """Word hashes stay JVM-side (engine md5); the per-bit signed
+    popcounts run in the declared Arrow batch kernel (r6 — the old SQL
+    form was `bits` interpreted folds per row)."""
+    from pyspark.sql import types as T
     words = F.expr(dialect.tokens_expr(text_col, "spark"))
-    return (df.withColumn("words", words)
-            .withColumn("hs", F.expr(word_hashes_sql("words", "spark")))
-            .select(F.col(id_col),
-                    F.expr(simhash_sql("hs", bits, "spark"))
-                    .alias("simhash")))
+    d = (df.withColumn("words", words)
+         .withColumn("__hs", F.expr(word_hashes_sql("words", "spark")))
+         .select(F.col(id_col), "__hs"))
+    out_schema = T.StructType(
+        [d.schema[id_col], T.StructField("simhash", T.LongType())])
+    return d.mapInArrow(_simhash_arrow_fn(id_col, bits), out_schema)
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,

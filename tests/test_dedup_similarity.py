@@ -34,6 +34,25 @@ def test_minhash_identical_docs_share_signature(spark):
     assert (1, 2) in pairs and (1, 3) not in pairs
 
 
+def test_minhash_simhash_trailing_empty_docs(spark):
+    """Regression for the r6 Arrow kernels: a TRAILING empty doc put
+    len(values) into the reduceat index list; the old clipping fix
+    silently shrank the last non-empty doc's segment (its min lost the
+    final shingle hash). Pin the kernel against the pure-Python twin on
+    exactly that shape: non-empty docs followed by empty/sub-shingle
+    docs, plus an interior empty."""
+    docs = [(1, "alpha beta gamma delta epsilon zeta"), (2, ""),
+            (3, "one two three four five six seven"), (4, "ab"), (5, "")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sigs = {r.doc_id: [r[f"mh_{i}"] for i in range(DD.MINHASH_K)]
+            for r in DD.minhash_signatures(df).collect()}
+    for doc_id, text in docs:
+        assert sigs[doc_id] == DD.minhash_sig_py(text), doc_id
+    sh = {r.doc_id: r.simhash for r in DD.simhash(df, bits=32).collect()}
+    for doc_id, text in docs:
+        assert sh[doc_id] == DD.simhash_py(text), doc_id
+
+
 def test_simhash_near_docs_small_hamming(spark):
     a = "spark query engine with hash join and table scan operators"
     b = "spark query engine with hash join and table scan operator"  # 1 word

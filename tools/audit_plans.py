@@ -25,7 +25,7 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ARROW_OK = {"image_feature_materialization", "asof_join_merge",
             "cosine_dedup_pairs", "cosine_dedup_banded",
             "cosine_dedup_banded_derived", "embedding_dedup_groups",
-            "ivf_topk"}
+            "ivf_topk", "minhash_signatures", "lsh_pairs", "simhash"}
 
 
 def main() -> None:
