@@ -22,7 +22,13 @@ def words_col(text_col: str = "text") -> Column:
     return F.expr(dialect.tokens_expr(text_col, "spark"))
 
 
-def annotated_tokens_sql(words: str = "words", dialect_name: str = "spark") -> str:
+#: full annotated-token field order (the reference's token record shape)
+ANNOT_FIELDS = ("word", "lemma", "pos_tag", "pos_type", "is_stop",
+                "is_stop_lemma", "is_go")
+
+
+def annotated_tokens_sql(words: str = "words", dialect_name: str = "spark",
+                         fields: tuple[str, ...] | None = None) -> str:
     """SQL for array<struct<word,lemma,pos_tag,pos_type,is_stop,
     is_stop_lemma,is_go>> from an array of lowercase words.
 
@@ -33,32 +39,48 @@ def annotated_tokens_sql(words: str = "words", dialect_name: str = "spark") -> s
     Mirrors the reference's token record (annotation-keys,
     stanford.clj:267-270) at word granularity; `is_go` is go-word?
     (stopword.clj:33-38).
+
+    `fields` (r6 optimization, guide §2.3 'project early'): render only a
+    SUBSET of the struct fields — column pruning cannot reach inside HOF
+    lambdas, so a consumer that reads two fields otherwise pays the POS
+    CASE + lemma CASE + three lexicon probes per token. The inner binding
+    drops tag/lem when no requested field needs them; field VALUES are
+    identical to the full render. Default (None) renders the full struct,
+    byte-identical to the pre-r6 SQL (the oracle CTEs depend on that).
     """
     d = dialect_name
+    fields = ANNOT_FIELDS if fields is None else tuple(fields)
+    assert all(f in ANNOT_FIELDS for f in fields), fields
+    need_tag = any(f in fields for f in ("pos_tag", "pos_type", "is_go"))
+    need_lem = any(f in fields for f in ("lemma", "is_stop_lemma"))
     pos = dialect.pos_case_expr("t", d)
     lemma = dialect.lemma_case_expr("t", d)
-    ptype = dialect.pos_type_case_expr("x.tag")
-    stop_t = dialect.stopword_cond("x.t")
-    stop_lemma = dialect.stopword_cond("x.lem")
-    go = dialect.go_word_cond("x.t", "x.tag")
+    rendered = {
+        "word": "x.t", "lemma": "x.lem", "pos_tag": "x.tag",
+        "pos_type": f"({dialect.pos_type_case_expr('x.tag')})",
+        "is_stop": f"({dialect.stopword_cond('x.t')})",
+        "is_stop_lemma": f"({dialect.stopword_cond('x.lem')})",
+        "is_go": f"({dialect.go_word_cond('x.t', 'x.tag')})",
+    }
     if d == "spark":
-        inner = (f"transform({words}, t -> "
-                 f"named_struct('t', t, 'tag', ({pos}), 'lem', ({lemma})))")
-        return (
-            f"transform({inner}, x -> named_struct("
-            f"'word', x.t, 'lemma', x.lem, 'pos_tag', x.tag, "
-            f"'pos_type', ({ptype}), 'is_stop', ({stop_t}), "
-            f"'is_stop_lemma', ({stop_lemma}), 'is_go', ({go})))"
-        )
+        parts = ["'t', t"]
+        if need_tag:
+            parts.append(f"'tag', ({pos})")
+        if need_lem:
+            parts.append(f"'lem', ({lemma})")
+        inner = f"transform({words}, t -> named_struct({', '.join(parts)}))"
+        outer = ", ".join(f"'{f}', {rendered[f]}" for f in fields)
+        return f"transform({inner}, x -> named_struct({outer}))"
     # DuckDB: struct_pack
+    parts = ["t := t"]
+    if need_tag:
+        parts.append(f"tag := ({pos})")
+    if need_lem:
+        parts.append(f"lem := ({lemma})")
     inner = (f"list_transform({words}, t -> "
-             f"struct_pack(t := t, tag := ({pos}), lem := ({lemma})))")
-    return (
-        f"list_transform({inner}, x -> struct_pack("
-        f"word := x.t, lemma := x.lem, pos_tag := x.tag, "
-        f"pos_type := ({ptype}), is_stop := ({stop_t}), "
-        f"is_stop_lemma := ({stop_lemma}), is_go := ({go})))"
-    )
+             f"struct_pack({', '.join(parts)}))")
+    outer = ", ".join(f"{f} := {rendered[f]}" for f in fields)
+    return f"list_transform({inner}, x -> struct_pack({outer}))"
 
 
 def annotated_tokens_col(words: str = "words") -> Column:

@@ -376,9 +376,11 @@ def tag_mentions(df: DataFrame, items: list[DictItem],
     the compiled items actually probe are bound (pruning lesson)."""
     compiled = compile_items(items)
     need = needs_arrays(compiled)
-    ann = tx.annotate(df, text_col)
-    # lemmas from words directly (NOT from toks): lets Catalyst prune the
-    # heavy toks struct out of plans that only need mentions
+    # r6: the matcher reads only words/lemmas (+cased variants) — the full
+    # annotate() struct was dead weight Catalyst could not prune out of
+    # the per-row lambda scope; consumers that need `toks` annotate
+    # themselves
+    ann = df.withColumn("words", tx.words_col(text_col))
     lemma_case = dialect.lemma_case_expr("t", "spark")
     cols = {"ws": "words"}
     ann = ann.withColumn(

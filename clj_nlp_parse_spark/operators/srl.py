@@ -107,7 +107,10 @@ def srl_feature_cols(propbanks: str, arg_labels: str) -> list[Column]:
 def verb_features(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text") -> DataFrame:
     from clj_nlp_parse_spark.functions import text as tx
-    ann = tx.annotate(df, text_col)
+    # r6: only word + pos_type are read — skip lemma/stopword/go fields
+    ann = df.withColumn("words", tx.words_col(text_col)).withColumn(
+        "toks", F.expr(tx.annotated_tokens_sql(
+            "words", "spark", fields=("word", "pos_type"))))
     first_is_verb = F.expr("try_element_at(toks, 1).pos_type = 'verb'")
     root = F.expr(
         "coalesce(try_element_at(filter(toks, x -> x.pos_type = 'verb'), 1), "

@@ -713,9 +713,11 @@ def q_mention_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference feature/lang.clj:193-237)."""
     tagged = D.tag_mentions(_docs(spark, sf_dir), DICT_ITEMS)
     ents = sorted({i.label for i in DICT_ITEMS})
+    # r6: the token count = size(words) == size(toks) by construction —
+    # the full annotated struct drops out of the plan entirely
     return tagged.select(
         "doc_id",
-        *D.mentions_feature_cols("tok_re_mentions", "toks", ents),
+        *D.mentions_feature_cols("tok_re_mentions", "words", ents),
     ).repartition(1).sortWithinPartitions("doc_id")
 
 
@@ -2462,7 +2464,10 @@ _PDESC = dialect.pos_description_case_expr("x.pos_tag")
 def q_pos_tag_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O12 pos-tag-type taxonomy lookup per token, including the Penn
     Treebank tag description (reference parse.clj:24-123)."""
-    ann = tx.annotate(_docs(spark, sf_dir))
+    ann = _docs(spark, sf_dir).withColumn(
+        "words", tx.words_col("text")).withColumn(
+        "toks", F.expr(tx.annotated_tokens_sql(
+            "words", "spark", fields=("word", "pos_tag", "pos_type"))))
     return (ann.select("doc_id", F.explode("toks").alias("x"))
             .select("doc_id", F.col("x.word").alias("word"),
                     F.col("x.pos_tag").alias("pos_tag"),
@@ -2796,7 +2801,7 @@ def q_token_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     nth (1-based, -1 = last), slice(words, beg, len) is tokens-by-sentence's
     drop/take — both pure codegen projections, no shuffle."""
     toks = tx.annotated_tokens_sql(dialect.tokens_expr("text", "spark"),
-                                   "spark")
+                                   "spark", fields=("word", "pos_tag"))
     let = (f"try_element_at(transform(array({toks}), z -> named_struct("
            f"'first_word', try_element_at(z, 1).word, "
            f"'third_tag', try_element_at(z, 3).pos_tag, "
@@ -2975,9 +2980,10 @@ def q_mention_features_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.tag_mentions(_docs(spark, sf_dir), DICT_ITEMS))
     both = tagged.withColumn(
         "all_mentions", F.expr("concat(tok_re_mentions, model_mentions)"))
+    # r6: size(words) == size(toks) — see mention_features
     return both.select(
         "doc_id",
-        *D.mentions_feature_cols("all_mentions", "toks", _MFU_ENTS),
+        *D.mentions_feature_cols("all_mentions", "words", _MFU_ENTS),
     ).repartition(1).sortWithinPartitions("doc_id")
 
 
@@ -3030,7 +3036,8 @@ def q_srl_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     dependency label) + O15 first non-null scan (feature/lang.clj:15-31)."""
     s = _srl_frags("spark")
     toks = tx.annotated_tokens_sql(dialect.tokens_expr("text", "spark"),
-                                   "spark")
+                                   "spark",
+                                   fields=("word", "lemma", "is_stop"))
     # bind toks once; the three feature fragments reference the bound `toks`
     # lambda variable instead of re-deriving the annotation per column
     let = (f"try_element_at(transform(array({toks}), toks -> "

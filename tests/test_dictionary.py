@@ -48,9 +48,11 @@ def test_mentions_features_zero_defaults(spark):
     items = [D.DictItem(1, "hash join", "JOIN_OP")]
     df = spark.createDataFrame([(1, "no matches here")],
                                "doc_id long, text string")
+    # r6: tag_mentions no longer materializes the full annotated struct;
+    # the token count comes from the word array (same length)
     tagged = D.tag_mentions(df, items)
     row = tagged.select(
-        "doc_id", *D.mentions_feature_cols("tok_re_mentions", "toks",
+        "doc_id", *D.mentions_feature_cols("tok_re_mentions", "words",
                                            ["JOIN_OP"])).collect()[0]
     assert row.mentions_count_join_op == 0
     assert row.mentions_ratio_join_op == 0.0

@@ -54,7 +54,7 @@ def test_ner_mentions_concat_with_dict_mentions(spark):
     feats = both.select(
         "doc_id",
         *D.mentions_feature_cols(
-            "all_mentions", "toks",
+            "all_mentions", "words",
             ["SCAN_OP", "ARTIFACT", "OPERATION"])).collect()[0]
     assert feats.mentions_count_scan_op == 1
     assert feats.mentions_count_artifact == 1
