@@ -183,6 +183,94 @@ def add_coref(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.expr(coref_expr(text_col)))
 
 
+#: flat chain-mention output column order (after doc_id)
+COREF_COLS = ("chain_id", "mention_key", "label", "sent_index",
+              "token_beg", "token_end", "head_index", "chain_size")
+
+
+def coref_rows(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """One row per chain mention in textual order (id_col + COREF_COLS) —
+    the exploded surface of coref_expr, as a DECLARED Arrow batch stage
+    (r6 optimization, guide §4: the fused-parser precedent). The SQL form
+    built the sort-based per-doc clustering in a six-level let-bound HOF
+    projection and exploded it through an interpreted Generate (~2.9 s at
+    sf0.1); the kernel applies the IDENTICAL rule table per doc (the
+    fuzz-pinned coref twin's algorithm): gazetteer token typing, maximal
+    same-type run merging, lemma-joined keys, chains = keys with >= 2
+    mentions, chain_id = 1-based rank in sorted qualifying-key order.
+    Values are ints/strings only — and ASCII/UTF-8 string sorting in
+    Python compares code points exactly like UTF8String's binary order,
+    so output is byte-identical (oracle-gated at both SFs)."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from clj_nlp_parse_spark.operators import ner as _ner
+
+    w2t = {w: t for t, ws in _ner.GAZETTEER.items() for w in ws}
+
+    def kern(batches):
+        import re
+        from collections import Counter
+        tok = re.compile("[a-z0-9']+")
+        splitter = re.compile("[.!?]+")
+        lemma = dialect.lemma_py
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            cols = {c: [] for c in (id_col,) + COREF_COLS}
+            for did, text in zip(ids, texts):
+                mentions = []
+                si = -1
+                for seg in splitter.split(text or ""):
+                    ws = tok.findall(seg.lower())
+                    if not ws:
+                        continue
+                    si += 1
+                    types = [w2t.get(w) for w in ws]
+                    i = 0
+                    while i < len(types):
+                        if types[i] is None:
+                            i += 1
+                            continue
+                        j = i
+                        while j < len(types) and types[j] == types[i]:
+                            j += 1
+                        key = " ".join(lemma(w) for w in ws[i:j])
+                        mentions.append((si, types[i], i, j, key))
+                        i = j
+                cnt = Counter(m[4] for m in mentions)
+                rank = {k: r + 1 for r, k in enumerate(
+                    sorted(k for k, c in cnt.items() if c >= 2))}
+                for (si, lab, beg, end, key) in mentions:
+                    if key not in rank:
+                        continue
+                    cols[id_col].append(did)
+                    cols["chain_id"].append(rank[key])
+                    cols["mention_key"].append(key)
+                    cols["label"].append(lab)
+                    cols["sent_index"].append(si)
+                    cols["token_beg"].append(beg + 1)
+                    cols["token_end"].append(end + 1)
+                    cols["head_index"].append(end)
+                    cols["chain_size"].append(cnt[key])
+            arrs = [pa.array(cols[id_col], pa.int64())]
+            for c in COREF_COLS:
+                typ = pa.string() if c in ("mention_key", "label") \
+                    else pa.int64()
+                arrs.append(pa.array(cols[c], typ))
+            yield pa.record_batch(arrs, names=[id_col, *COREF_COLS])
+
+    from clj_nlp_parse_spark.functions.text import spread_small_input
+    inp = spread_small_input(df.select(id_col, text_col))
+    out_schema = T.StructType(
+        [inp.schema[id_col]]
+        + [T.StructField(c, T.StringType()
+                         if c in ("mention_key", "label") else T.LongType())
+           for c in COREF_COLS])
+    return inp.mapInArrow(kern, out_schema)
+
+
 def duck_coref_cte(from_tbl: str, text_col: str = "text") -> str:
     """DuckDB CTE chain (no leading WITH) ending in `cm`: one row per
     chain mention with doc_id, chain_id, key, label, sent_index, tok_beg,

@@ -197,6 +197,66 @@ def srl_expr(words: str) -> str:
     return TR._spark_let({"ws": words}, l2, "y0")
 
 
+def srl_token_rows(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """One row per token (id_col, id, word, head_id, dependency_label,
+    function_tag, propbank) — the flattened A13 surface, as a DECLARED
+    Arrow batch stage (r6 optimization, guide §4: the fused-parser
+    precedent). Same rule tables as the SQL form: dep edges from the
+    linearized chunk derivation, function tag from the fixed label→tag
+    table, propbank = lemma + '.01' for verb-tagged tokens."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from clj_nlp_parse_spark.operators import trees as TR
+
+    ftag = {"mod": "PPT", "dep": "ADV"}
+
+    def kern(batches):
+        import re
+        tok = re.compile("[a-z0-9']+")
+        verb_tags = frozenset(schema.VERB_TAGS)
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            o = {k: [] for k in ("doc", "id", "word", "head", "lab",
+                                 "ft", "pb")}
+            for did, text in zip(ids, texts):
+                ws = tok.findall((text or "").lower())
+                tags = [dialect.pos_py(w) for w in ws]
+                edges = TR._dep_edges_linear(ws, tags, TR._chunks_py(tags))
+                for (hd, dep, lab) in edges:
+                    w = ws[dep - 1]
+                    o["doc"].append(did)
+                    o["id"].append(dep)
+                    o["word"].append(w)
+                    o["head"].append(hd)
+                    o["lab"].append(lab)
+                    o["ft"].append(ftag.get(lab))
+                    o["pb"].append(dialect.lemma_py(w) + ".01"
+                                   if tags[dep - 1] in verb_tags else None)
+            yield pa.record_batch(
+                [pa.array(o["doc"], pa.int64()),
+                 pa.array(o["id"], pa.int64()), pa.array(o["word"]),
+                 pa.array(o["head"], pa.int64()), pa.array(o["lab"]),
+                 pa.array(o["ft"], pa.string()),
+                 pa.array(o["pb"], pa.string())],
+                names=[id_col, "id", "word", "head_id",
+                       "dependency_label", "function_tag", "propbank"])
+
+    from clj_nlp_parse_spark.functions.text import spread_small_input
+    inp = spread_small_input(df.select(id_col, text_col))
+    out_schema = T.StructType(
+        [inp.schema[id_col],
+         T.StructField("id", T.LongType()),
+         T.StructField("word", T.StringType()),
+         T.StructField("head_id", T.LongType()),
+         T.StructField("dependency_label", T.StringType()),
+         T.StructField("function_tag", T.StringType()),
+         T.StructField("propbank", T.StringType())])
+    return inp.mapInArrow(kern, out_schema)
+
+
 def add_srl(df: DataFrame, text_col: str = "text",
             out_col: str = "srl") -> DataFrame:
     """Attach the per-token srl struct array to any frame with a text

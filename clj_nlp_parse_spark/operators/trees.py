@@ -377,6 +377,146 @@ def dep_edges_sql(ws: str, tg: str, ch: str, d: str = "spark") -> str:
 # dialect-paired SQL generated from one builder.
 
 
+def _dep_edges_linear(ws: list[str], tags: list[str],
+                      chunks: list[dict]) -> list[tuple[int, int, str]]:
+    """dep_edges_py's algorithm in O(n + Σ chunk spans): token→chunk map
+    and per-chunk elected head precomputed once (the r5 linearization of
+    the per-token chunk lookup, kept in the Python kernel — the
+    adversarial-density probe contract must hold here too). Identical
+    output to dep_edges_py."""
+    from clj_nlp_parse_spark import schema
+    if not ws:
+        return []
+    tok2c: list[dict | None] = [None] * len(ws)
+    for c in chunks:
+        heads = NP_HEAD_TAGS if c["label"] == "NP" else VP_HEAD_TAGS
+        hs = [j for j in range(c["beg"] + 1, c["fin"] + 1)
+              if tags[j - 1] in heads]
+        c["_hd"] = hs[-1] if hs else None
+        for k in range(c["beg"], c["fin"]):
+            tok2c[k] = c
+    rt = next((i + 1 for i, t in enumerate(tags)
+               if t in schema.VERB_TAGS), 1)
+    out = [(0, rt, "root")]
+    for i in range(1, len(ws) + 1):
+        if i == rt:
+            continue
+        c = tok2c[i - 1]
+        hd = c["_hd"] if c is not None else None
+        if hd is not None and hd != i:
+            out.append((hd, i, "mod"))
+        else:
+            out.append((rt, i, "dep"))
+    return out
+
+
+def dep_edge_rows(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exploded dependency edge rows (id_col, head, dependent, label) as
+    a DECLARED Arrow batch stage (r6 optimization, guide §4: the
+    fused-parser precedent) — same rule tables as dep_tree_edges' SQL
+    form (fuzz-pinned twin algorithm, linearized chunk lookup), emitted
+    directly instead of HOF-array-build + interpreted Generate."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from clj_nlp_parse_spark import dialect as dlect
+
+    def kern(batches):
+        import re
+        tok = re.compile("[a-z0-9']+")
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            o_id, o_h, o_d, o_l = [], [], [], []
+            for did, text in zip(ids, texts):
+                ws = tok.findall((text or "").lower())
+                tags = [dlect.pos_py(w) for w in ws]
+                for (hd, dep, lab) in _dep_edges_linear(
+                        ws, tags, _chunks_py(tags)):
+                    o_id.append(did)
+                    o_h.append(hd)
+                    o_d.append(dep)
+                    o_l.append(lab)
+            yield pa.record_batch(
+                [pa.array(o_id, pa.int64()), pa.array(o_h, pa.int64()),
+                 pa.array(o_d, pa.int64()), pa.array(o_l, pa.string())],
+                names=[id_col, "head", "dependent", "label"])
+
+    from clj_nlp_parse_spark.functions.text import spread_small_input
+    inp = spread_small_input(df.select(id_col, text_col))
+    out_schema = T.StructType(
+        [inp.schema[id_col],
+         T.StructField("head", T.LongType()),
+         T.StructField("dependent", T.LongType()),
+         T.StructField("label", T.StringType())])
+    return inp.mapInArrow(kern, out_schema)
+
+
+def parse_tree_edge_rows(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Exploded constituency edge rows (id_col, parent, child, label,
+    token_index) as a DECLARED Arrow batch stage (r6) — the exact
+    edges_sql numbering: ROOT(-1→0), S(0→1), chunk nodes at 2+3*beg
+    (parent S, or the preceding VP for object-attached NPs), preterminals
+    at 3i (parent = containing chunk or S), leaves at 3i+1."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from clj_nlp_parse_spark import dialect as dlect
+
+    def kern(batches):
+        import re
+        tok = re.compile("[a-z0-9']+")
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            o_id, o_p, o_c, o_l, o_t = [], [], [], [], []
+
+            def emit(did, p, c, lab, ti):
+                o_id.append(did)
+                o_p.append(p)
+                o_c.append(c)
+                o_l.append(lab)
+                o_t.append(ti)
+
+            for did, text in zip(ids, texts):
+                ws = tok.findall((text or "").lower())
+                tags = [dlect.pos_py(w) for w in ws]
+                ch = _chunks_py(tags)
+                tok2beg: list[int | None] = [None] * len(ws)
+                for c in ch:
+                    for k in range(c["beg"], c["fin"]):
+                        tok2beg[k] = c["beg"]
+                emit(did, -1, 0, "ROOT", None)
+                emit(did, 0, 1, "S", None)
+                for c in ch:
+                    parent = (2 + 3 * c["pvp"]
+                              if c["pvp"] is not None else 1)
+                    emit(did, parent, 2 + 3 * c["beg"], c["label"], None)
+                for i in range(1, len(ws) + 1):
+                    beg = tok2beg[i - 1]
+                    emit(did, 2 + 3 * beg if beg is not None else 1,
+                         3 * i, tags[i - 1], i)
+                for i in range(1, len(ws) + 1):
+                    emit(did, 3 * i, 3 * i + 1, ws[i - 1], i)
+            yield pa.record_batch(
+                [pa.array(o_id, pa.int64()), pa.array(o_p, pa.int64()),
+                 pa.array(o_c, pa.int64()), pa.array(o_l, pa.string()),
+                 pa.array(o_t, pa.int64())],
+                names=[id_col, "parent", "child", "label", "token_index"])
+
+    from clj_nlp_parse_spark.functions.text import spread_small_input
+    inp = spread_small_input(df.select(id_col, text_col))
+    out_schema = T.StructType(
+        [inp.schema[id_col],
+         T.StructField("parent", T.LongType()),
+         T.StructField("child", T.LongType()),
+         T.StructField("label", T.StringType()),
+         T.StructField("token_index", T.LongType())])
+    return inp.mapInArrow(kern, out_schema)
+
+
 def _chunks_py(tags: list[str]) -> list[dict]:
     """Kept chunk runs with attachment flags, plain Python."""
     cls = ["NP" if t in NP_TAGS else "VP" if t in VP_TAGS else None

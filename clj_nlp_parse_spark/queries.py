@@ -189,7 +189,8 @@ def q_parse_tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaves, 1-based token_index like the reference's :token-index
     (sr_parse_test.clj:26-49). Exploded to one row per edge; pure per-row
     array computation, zero shuffle."""
-    return TR.parse_tree_edges(_docs(spark, sf_dir)) \
+    # r6: exploded edge surface via the declared Arrow kernel
+    return TR.parse_tree_edge_rows(_docs(spark, sf_dir)) \
              .repartition(1).sortWithinPartitions("doc_id", "child")
 
 
@@ -211,7 +212,8 @@ def q_dep_tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse.clj:167-171): head 0 → root token, chunk members → chunk head
     ('mod'), everything else → root ('dep'). 1-based token indices; one
     row per token. Pure per-row computation, zero shuffle."""
-    return TR.dep_tree_edges(_docs(spark, sf_dir)) \
+    # r6: exploded edge surface via the declared Arrow kernel
+    return TR.dep_edge_rows(_docs(spark, sf_dir)) \
              .repartition(1).sortWithinPartitions("doc_id", "dependent")
 
 
@@ -228,10 +230,10 @@ def q_go_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13 go-word filtering (reference stopword.clj:16-50). The go-word
     array is let-bound once per row — naming it in both output columns
     would re-run tokenize+tag per column (projection collapse)."""
-    toks = tx.annotated_tokens_sql(dialect.tokens_expr("text", "spark"),
-                                   "spark")
-    let = (f"try_element_at(transform(array("
-           f"transform(filter({toks}, x -> x.is_go), x -> x.word)), "
+    # r6: go forms straight from the word array (no 7-field struct)
+    forms = tx.go_word_forms_from_words_sql(
+        dialect.tokens_expr("text", "spark"), "word")
+    let = (f"try_element_at(transform(array({forms}), "
            f"z -> named_struct("
            f"'n_go_words', cast(size(z) as bigint), "
            f"'n_distinct_go', cast(size(array_distinct(z)) as bigint))), 1)")
@@ -3164,19 +3166,10 @@ def q_coref_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     array computation — one projection, zero shuffle (coref.py)."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_COREF_TEXT).alias("text"))
-    out = CRF.add_coref(docs).select(
-        "doc_id", F.explode("coref").alias("c"))
-    return (out.select(
-        "doc_id",
-        F.col("c.chain_id").cast("long").alias("chain_id"),
-        F.col("c.mention_key").alias("mention_key"),
-        F.col("c.label").alias("label"),
-        F.col("c.sent_index").alias("sent_index"),
-        F.col("c.token_beg").alias("token_beg"),
-        F.col("c.token_end").alias("token_end"),
-        F.col("c.head_index").alias("head_index"),
-        F.col("c.chain_size").alias("chain_size"))
-        .repartition(1).sortWithinPartitions("doc_id", "chain_id", "sent_index", "token_beg"))
+    # r6: exploded chain-mention surface via the declared Arrow kernel
+    return (CRF.coref_rows(docs)
+            .repartition(1).sortWithinPartitions(
+                "doc_id", "chain_id", "sent_index", "token_beg"))
 
 
 @register(
@@ -3235,11 +3228,10 @@ def q_natlog_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (natlog.py)."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_NATLOG_TEXT).alias("text"))
-    out = NLG.add_natlog(docs).select(
-        "doc_id", F.explode("natlog").alias("t"))
-    return (out.select(
-        "doc_id", *[F.col(f"t.{c}").alias(c) for c in NLG.NATLOG_COLS])
-        .repartition(1).sortWithinPartitions("doc_id", "sent_index", "token_index"))
+    # r6: exploded token surface via the declared Arrow kernel
+    return (NLG.natlog_rows(docs)
+            .repartition(1).sortWithinPartitions(
+                "doc_id", "sent_index", "token_index"))
 
 
 @register(
@@ -3314,23 +3306,9 @@ def q_srl_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row array computation, zero shuffle."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_CHUNK_TEXT).alias("text"))
-    d = (docs
-         .withColumn("ws", F.expr(dialect.tokens_expr("text", "spark")))
-         .withColumn("tg", F.expr(
-             f"transform(ws, t -> ({dialect.pos_case_expr('t', 'spark')}))"))
-         .select("doc_id", "ws", "tg",
-                 F.explode(F.expr(TR2.tree_expr("ws", "dep", tags="tg")))
-                 .alias("e")))
-    return (d.select(
-        "doc_id",
-        F.col("e.dependent").cast("long").alias("id"),
-        F.expr("try_element_at(ws, e.dependent)").alias("word"),
-        F.col("e.head").cast("long").alias("head_id"),
-        F.col("e.label").alias("dependency_label"),
-        F.expr(SRL.function_tag_sql("e.label")).alias("function_tag"),
-        F.expr(SRL.propbank_sql("ws", "tg", "e.dependent", "spark"))
-        .alias("propbank"))
-        .repartition(1).sortWithinPartitions("doc_id", "id"))
+    # r6: flattened token surface via the declared Arrow kernel
+    return (SRL.srl_token_rows(docs)
+            .repartition(1).sortWithinPartitions("doc_id", "id"))
 
 
 # ----------------------------- banded cosine near-dup (dedup scale path)

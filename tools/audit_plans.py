@@ -25,7 +25,9 @@ SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ARROW_OK = {"image_feature_materialization", "asof_join_merge",
             "cosine_dedup_pairs", "cosine_dedup_banded",
             "cosine_dedup_banded_derived", "embedding_dedup_groups",
-            "ivf_topk", "minhash_signatures", "lsh_pairs", "simhash"}
+            "ivf_topk", "minhash_signatures", "lsh_pairs", "simhash",
+            "natlog_tokens", "coref_chains", "srl_tokens",
+            "dep_tree_edges", "parse_tree_edges"}
 
 
 def main() -> None:
