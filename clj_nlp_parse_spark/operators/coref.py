@@ -271,6 +271,72 @@ def coref_rows(df: DataFrame, id_col: str = "doc_id",
     return inp.mapInArrow(kern, out_schema)
 
 
+def coref_doc_features(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Per-doc chain aggregates (n_chains, n_chain_mentions,
+    max_chain_size, mean_chain_size) as a declared Arrow batch stage (r6)
+    — one output row per input doc (zero-defaults preserved); the mean is
+    one double division, bit-identical in IEEE."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from clj_nlp_parse_spark.operators import ner as _ner
+
+    w2t = {w: t for t, ws in _ner.GAZETTEER.items() for w in ws}
+
+    def kern(batches):
+        import re
+        from collections import Counter
+        tok = re.compile("[a-z0-9']+")
+        splitter = re.compile("[.!?]+")
+        lemma = dialect.lemma_py
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            o_id, o_nc, o_nm, o_mx, o_mean = [], [], [], [], []
+            for did, text in zip(ids, texts):
+                keys = []
+                for seg in splitter.split(text or ""):
+                    ws = tok.findall(seg.lower())
+                    if not ws:
+                        continue
+                    types = [w2t.get(w) for w in ws]
+                    i = 0
+                    while i < len(types):
+                        if types[i] is None:
+                            i += 1
+                            continue
+                        j = i
+                        while j < len(types) and types[j] == types[i]:
+                            j += 1
+                        keys.append(" ".join(lemma(w) for w in ws[i:j]))
+                        i = j
+                cnt = Counter(keys)
+                q = [c for c in cnt.values() if c >= 2]
+                nc, nm = len(q), sum(q)
+                o_id.append(did)
+                o_nc.append(nc)
+                o_nm.append(nm)
+                o_mx.append(max(q) if q else 0)
+                o_mean.append(0.0 if nc == 0 else float(nm) / float(nc))
+            yield pa.record_batch(
+                [pa.array(o_id, pa.int64()), pa.array(o_nc, pa.int64()),
+                 pa.array(o_nm, pa.int64()), pa.array(o_mx, pa.int64()),
+                 pa.array(o_mean, pa.float64())],
+                names=[id_col, "n_chains", "n_chain_mentions",
+                       "max_chain_size", "mean_chain_size"])
+
+    from clj_nlp_parse_spark.functions.text import spread_small_input
+    inp = spread_small_input(df.select(id_col, text_col))
+    out_schema = T.StructType(
+        [inp.schema[id_col],
+         T.StructField("n_chains", T.LongType()),
+         T.StructField("n_chain_mentions", T.LongType()),
+         T.StructField("max_chain_size", T.LongType()),
+         T.StructField("mean_chain_size", T.DoubleType())])
+    return inp.mapInArrow(kern, out_schema)
+
+
 def duck_coref_cte(from_tbl: str, text_col: str = "text") -> str:
     """DuckDB CTE chain (no leading WITH) ending in `cm`: one row per
     chain mention with doc_id, chain_id, key, label, sent_index, tok_beg,

@@ -165,6 +165,62 @@ def add_natlog(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, F.expr(natlog_expr(text_col)))
 
 
+def natlog_doc_features(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-doc natlog aggregates (n_tokens, n_operators, n_down,
+    down_ratio) as a declared Arrow batch stage (r6) — one output row per
+    input doc (zero-defaults preserved), same rule tables as the array
+    form; the ratio is one double division, bit-identical in IEEE."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    def kern(batches):
+        import re
+        tok = re.compile("[a-z0-9']+")
+        splitter = re.compile("[.!?]+")
+        for batch in batches:
+            ids = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            o_id, o_nt, o_no, o_nd, o_r = [], [], [], [], []
+            for did, text in zip(ids, texts):
+                nt = no = nd = 0
+                for seg in splitter.split(text or ""):
+                    ws = tok.findall(seg.lower())
+                    if not ws:
+                        continue
+                    negs = 0
+                    for w in ws:
+                        nt += 1
+                        if negs % 2 == 1:
+                            nd += 1
+                        if w in NEGATION_WORDS:
+                            no += 1
+                            negs += 1
+                        elif w in QUANTIFIER_WORDS:
+                            no += 1
+                o_id.append(did)
+                o_nt.append(nt)
+                o_no.append(no)
+                o_nd.append(nd)
+                o_r.append(0.0 if nt == 0 else float(nd) / float(nt))
+            yield pa.record_batch(
+                [pa.array(o_id, pa.int64()), pa.array(o_nt, pa.int64()),
+                 pa.array(o_no, pa.int64()), pa.array(o_nd, pa.int64()),
+                 pa.array(o_r, pa.float64())],
+                names=[id_col, "n_tokens", "n_operators", "n_down",
+                       "down_ratio"])
+
+    from clj_nlp_parse_spark.functions.text import spread_small_input
+    inp = spread_small_input(df.select(id_col, text_col))
+    out_schema = T.StructType(
+        [inp.schema[id_col],
+         T.StructField("n_tokens", T.LongType()),
+         T.StructField("n_operators", T.LongType()),
+         T.StructField("n_down", T.LongType()),
+         T.StructField("down_ratio", T.DoubleType())])
+    return inp.mapInArrow(kern, out_schema)
+
+
 def natlog_rows(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """One row per sentence token (id_col + NATLOG_COLS) — the exploded

@@ -2239,8 +2239,10 @@ def q_np_vp_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (explode → lag run starts → cumsum run ids → per-run agg)."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_CHUNK_TEXT).alias("text"))
-    out = CH.np_chunks(docs).unionByName(CH.vp_chunks(docs))
-    return out.repartition(1).sortWithinPartitions("doc_id", "label", "chunk_index")
+    # r6: both labels in one declared Arrow kernel pass
+    return (CH.chunk_rows(docs)
+            .repartition(1).sortWithinPartitions(
+                "doc_id", "label", "chunk_index"))
 
 
 # --------------------------------------------------------- image pipeline
@@ -3193,21 +3195,9 @@ def q_coref_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     chainless docs; still one projection, zero shuffle."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_COREF_TEXT).alias("text"))
-    withc = CRF.add_coref(docs)
-    n_chains = F.expr("size(array_distinct(transform(coref, "
-                      "c -> c.chain_id)))")
-    nm = F.expr("size(coref)")
-    mx = F.expr("coalesce(array_max(transform(coref, "
-                "c -> c.chain_size)), 0L)")
-    return (withc.select(
-        "doc_id",
-        n_chains.cast("long").alias("n_chains"),
-        nm.cast("long").alias("n_chain_mentions"),
-        mx.cast("long").alias("max_chain_size"),
-        F.when(n_chains == 0, F.lit(0.0))
-         .otherwise(nm.cast("double") / n_chains)
-         .alias("mean_chain_size"))
-        .repartition(1).sortWithinPartitions("doc_id"))
+    # r6: per-doc aggregates via the declared Arrow kernel
+    return (CRF.coref_doc_features(docs)
+            .repartition(1).sortWithinPartitions("doc_id"))
 
 
 _NATLOG_DOC_CTE = ("WITH ndoc AS (SELECT doc_id, " + _NATLOG_TEXT
@@ -3255,18 +3245,9 @@ def q_natlog_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero shuffle."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", F.expr(_NATLOG_TEXT).alias("text"))
-    withn = NLG.add_natlog(docs)
-    n_tok = F.expr("size(natlog)")
-    n_ops = F.expr("size(filter(natlog, t -> t.operator IS NOT NULL))")
-    n_down = F.expr("size(filter(natlog, t -> t.polarity = 'down'))")
-    return (withn.select(
-        "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        n_ops.cast("long").alias("n_operators"),
-        n_down.cast("long").alias("n_down"),
-        F.when(n_tok == 0, F.lit(0.0))
-         .otherwise(n_down.cast("double") / n_tok).alias("down_ratio"))
-        .repartition(1).sortWithinPartitions("doc_id"))
+    # r6: per-doc aggregates via the declared Arrow kernel
+    return (NLG.natlog_doc_features(docs)
+            .repartition(1).sortWithinPartitions("doc_id"))
 
 
 # ------------------------------------------------- A13 srl struct (flat)

@@ -27,7 +27,8 @@ ARROW_OK = {"image_feature_materialization", "asof_join_merge",
             "cosine_dedup_banded_derived", "embedding_dedup_groups",
             "ivf_topk", "minhash_signatures", "lsh_pairs", "simhash",
             "natlog_tokens", "coref_chains", "srl_tokens",
-            "dep_tree_edges", "parse_tree_edges"}
+            "dep_tree_edges", "parse_tree_edges", "np_vp_chunks",
+            "coref_features", "natlog_features"}
 
 
 def main() -> None:
