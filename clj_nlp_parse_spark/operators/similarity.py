@@ -35,26 +35,6 @@ def cosine_sql(a: str, b: str, d: str) -> str:
             f"THEN 1.0 ELSE {norm_sql(a, d)} * {norm_sql(b, d)} END))")
 
 
-def cast_double_array_sql(a: str) -> str:
-    """Per-vector float→double cast, done ONCE per row (r6 optimization,
-    guide §2.3/§4.1). The zip_with/aggregate dot fold is CodegenFallback —
-    interpreted per element — so halving its tree (no per-element Cast
-    nodes) halves the fold cost; an UNROLLED 64-term sum is NOT the fix
-    (one 18 KB generated method exceeds HotSpot's 8 KB JIT ceiling and
-    runs as interpreted bytecode — measured SLOWER than the fold).
-    Products of pre-cast doubles are bit-identical to casting inside the
-    lambda."""
-    return f"transform({a}, cdx -> cast(cdx as double))"
-
-
-def dot_double_sql(a: str, b: str) -> str:
-    """Left-assoc dot fold over PRE-CAST double arrays — same products,
-    same 0.0-seeded left-to-right order as dot_sql, ~2x faster
-    interpreted (cd-prefixed lambda names per the engine naming rule)."""
-    return (f"aggregate(zip_with({a}, {b}, (cdx, cdy) -> cdx * cdy), "
-            f"cast(0.0 as double), (cds, cdv) -> cds + cdv)")
-
-
 def _cosine_arrow_fn(dim: int):
     """mapInArrow batch scorer for candidate pairs (r6 optimization, guide
     §4.2 — vectorized native code inside the Arrow boundary): per batch of
