@@ -27,7 +27,8 @@ The graft contract (each rule hand-checkable against the reference shape):
 
 Scale shape: clustering is PER-DOCUMENT by definition, so the whole
 operator compiles to ONE Catalyst projection over let-bound arrays —
-zero shuffle, zero Python. The O(m^2) key counting is bounded by
+zero shuffle (array form; the exploded row form is one declared Arrow
+batch stage, r6). The key counting is bounded by
 mentions-per-doc, never by corpus size.
 """
 

@@ -26,7 +26,8 @@ The graft contract (each rule hand-checkable against the reference shape):
     only when the token heads an operator.
 
 Scale shape: per-row array computation over let-bound sentence arrays —
-one Catalyst projection, zero shuffle, zero Python. The polarity count
+one Catalyst projection (array form) or one declared Arrow batch
+stage (exploded row form, r6). The polarity count
 scans a once-per-sentence bound negation-position array — O(n * #negs)
 per sentence, never corpus-dependent.
 """

@@ -281,7 +281,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int,
              qid_col: str = "qid", qvec_col: str = "qvec") -> DataFrame:
     """IVF-style approximate top-k (the second scale path beside lsh_topk):
     vectors are coarse-quantized to their nearest unit centroid (one pass,
-    pure codegen projection — at 10^12 rows this is the partition key the
+    declared Arrow batch stage (r6) — at 10^12 rows this is the partition key the
     index is physically laid out on); queries probe their `nprobe` nearest
     cells; only probed cells get exact cosine scoring.
 
