@@ -466,8 +466,64 @@ def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
         .select("id_a", "id_b", "hamming"))
 
 
+#: edge-count ceiling for the driver-side union-find fast path: 2M
+#: (u, v) bigint pairs ≈ 32 MB collected — the same order as a broadcast
+#: relation, well inside any driver. Above it the distributed min-label
+#: loop runs unchanged.
+DRIVER_CC_MAX_EDGES = 2_000_000
+
+
+def _cc_driver_side(edges: DataFrame, limit: int) -> DataFrame | None:
+    """Driver-side union-find fast path for SMALL edge sets (r6
+    optimization, guide §1.2/'first-principles'): the distributed
+    min-label loop costs a fixed ~4-6 eager jobs (checkpoints +
+    convergence aggregates) regardless of data size — pure scheduling
+    overhead when the deduplicated edge list fits in driver memory. One
+    limit-guarded collect replaces the whole loop: if the collect comes
+    back complete (≤ limit rows), union-find with min-id labels computes
+    the IDENTICAL (node, component) fixpoint — component = min reachable
+    node id — and the result returns as a local relation (broadcast-sized
+    by construction). Returns None when the edge list exceeds the limit
+    (collect truncated → fall back to the distributed loop). The same
+    scale-adaptive eager-metadata pattern as choose_asof_strategy."""
+    rows = edges.limit(limit + 1).collect()
+    if len(rows) > limit:
+        return None
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    mins: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in mins or n < mins[r]:
+            mins[r] = n
+    out = [(n, mins[find(n)]) for n in parent]
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("node", edges.schema["u"].dataType),
+        T.StructField("component", edges.schema["u"].dataType)])
+    return edges.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(pairs: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iter: int = 50) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 50,
+                         driver_max_edges: int = DRIVER_CC_MAX_EDGES
+                         ) -> DataFrame:
     """Connected components over a candidate-pair edge list by iterative
     min-label propagation WITH pointer jumping (the 'hash-to-min' family,
     cf. Rastogi et al., ICDE'13) — the standard corpus-dedup grouping step:
@@ -500,7 +556,12 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
         non-increasing per node (the min includes the node's own previous
         label; the jump maps a label to one ≤ it), so the exact decimal
         SUM of labels strictly decreases iff any node changed — one
-        scan-only aggregate on the checkpointed labels per round.
+        scan-only aggregate on the checkpointed labels per round;
+      * edge lists at or under `driver_max_edges` take the driver-side
+        union-find fast path (_cc_driver_side) — identical fixpoint, one
+        limit-guarded collect instead of the per-round job chain. Pass
+        driver_max_edges=0 to force the distributed loop (tests do, to
+        keep both paths covered).
 
     Returns (node, component) — component = min node id reachable.
     """
@@ -509,6 +570,10 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
                  pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
              .distinct()
              .localCheckpoint())
+    if driver_max_edges and driver_max_edges > 0:
+        local = _cc_driver_side(edges, driver_max_edges)
+        if local is not None:
+            return local
 
     def jump(stepped):
         # pointer jump: component ← component's component (labels form a

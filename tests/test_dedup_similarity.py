@@ -205,12 +205,15 @@ def test_connected_components_transitive_chain(spark):
 def test_connected_components_long_path_converges(spark):
     # pointer jumping: a 300-node path converges in O(log D) rounds —
     # max_iter=12 would be impossible for plain 1-hop propagation (300
-    # rounds) and proves the jump actually compresses chains
+    # rounds) and proves the jump actually compresses chains.
+    # driver_max_edges=0 forces the DISTRIBUTED loop (r6: small edge
+    # lists otherwise take the driver-side union-find fast path).
     from clj_nlp_parse_spark.operators import dedup as DD
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(300)], "doc_a long, doc_b long")
     got = {r.component
-           for r in DD.connected_components(pairs, max_iter=12).collect()}
+           for r in DD.connected_components(pairs, max_iter=12,
+                                            driver_max_edges=0).collect()}
     assert got == {0}
 
 
@@ -220,7 +223,25 @@ def test_connected_components_nonconvergence_raises(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(64)], "doc_a long, doc_b long")
     with pytest.raises(RuntimeError, match="did not converge"):
-        DD.connected_components(pairs, max_iter=1)
+        DD.connected_components(pairs, max_iter=1, driver_max_edges=0)
+
+
+def test_connected_components_driver_vs_distributed(spark):
+    """r6 fast path: the driver-side union-find must emit the IDENTICAL
+    (node, component) set as the distributed min-label loop on a random
+    mixed star+chain+singleton-free graph."""
+    import random
+    from clj_nlp_parse_spark.operators import dedup as DD
+    rnd = random.Random(7)
+    edges = [(rnd.randrange(200), rnd.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {(r.node, r.component)
+            for r in DD.connected_components(pairs).collect()}
+    dist = {(r.node, r.component)
+            for r in DD.connected_components(
+                pairs, driver_max_edges=0).collect()}
+    assert fast == dist and len(fast) > 0
 
 
 def test_dedup_groups_keep_semantics(spark):
