@@ -369,7 +369,7 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, threshold: float = 0.5,
     rank comes from a count-over-window instead of the old
     groupBy+re-join (one exchange fewer feeding the prefix window)."""
     docs = with_shingles(df, id_col, text_col, n)
-    return _prefix_pairs_from_shingles(docs, threshold, id_col)
+    return prefix_pairs_from_shingles(docs, threshold, id_col)
 
 
 def with_shingles(df: DataFrame, id_col: str = "doc_id",
@@ -385,7 +385,7 @@ def with_shingles(df: DataFrame, id_col: str = "doc_id",
                     F.expr("size(shingles)").alias("nsh")))
 
 
-def _prefix_pairs_from_shingles(docs: DataFrame, threshold: float,
+def prefix_pairs_from_shingles(docs: DataFrame, threshold: float,
                                 id_col: str = "doc_id") -> DataFrame:
     """Prefix-filter pair join over a pre-shingled (id, shingles, nsh)
     frame — the body of ngram_jaccard_pairs_prefix."""
@@ -679,7 +679,7 @@ def dedup_groups(df: DataFrame, threshold: float = 0.5,
     # window and the tokenize+shingle expression are computed once instead
     # of once per branch (same localCheckpoint hygiene as the CC loop)
     shingled = with_shingles(reps, id_col, text_col, n).localCheckpoint()
-    pairs = _prefix_pairs_from_shingles(shingled, threshold, id_col)
+    pairs = prefix_pairs_from_shingles(shingled, threshold, id_col)
     edges = pairs.select("doc_a", "doc_b").unionByName(star)
     comp = connected_components(edges, "doc_a", "doc_b")
     return keep_list(df.select(F.col(id_col)), comp, id_col)

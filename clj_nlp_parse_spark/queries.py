@@ -2714,7 +2714,12 @@ def q_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles never enter the self-join. Identical output to the naive
     inverted-index join (zero false negatives), verified by the same
     DuckDB oracle."""
-    return (DD.ngram_jaccard_pairs_prefix(_docs(spark, sf_dir), threshold=0.5)
+    # r6: derive + checkpoint the shingle projection once — the prefix
+    # pipeline reads it from four branches (df window, self-join side B's
+    # broadcast build, both verify sides), and the self-join's broadcast
+    # side otherwise recomputes the whole scan+shingle derivation
+    shingled = DD.with_shingles(_docs(spark, sf_dir)).localCheckpoint()
+    return (DD.prefix_pairs_from_shingles(shingled, 0.5)
             .repartition(1).sortWithinPartitions("doc_a", "doc_b"))
 
 
