@@ -466,10 +466,10 @@ def phash_near_dup_pairs(df: DataFrame, max_hamming: int = 2,
         .select("id_a", "id_b", "hamming"))
 
 
-#: edge-count ceiling for the driver-side union-find fast path: 2M
-#: (u, v) bigint pairs ≈ 32 MB collected — the same order as a broadcast
-#: relation, well inside any driver. Above it the distributed min-label
-#: loop runs unchanged.
+#: edge-count ceiling for the driver-side union-find fast path: 2M RAW
+#: (u, v) bigint pair rows ≈ 32 MB collected — the same order as a
+#: broadcast relation, well inside any driver. Above it the distributed
+#: min-label loop runs unchanged.
 DRIVER_CC_MAX_EDGES = 2_000_000
 
 
@@ -478,12 +478,14 @@ def _cc_driver_side(edges: DataFrame, limit: int) -> DataFrame | None:
     optimization, guide §1.2/'first-principles'): the distributed
     min-label loop costs a fixed ~4-6 eager jobs (checkpoints +
     convergence aggregates) regardless of data size — pure scheduling
-    overhead when the deduplicated edge list fits in driver memory. One
-    limit-guarded collect replaces the whole loop: if the collect comes
-    back complete (≤ limit rows), union-find with min-id labels computes
-    the IDENTICAL (node, component) fixpoint — component = min reachable
-    node id — and the result returns as a local relation (broadcast-sized
-    by construction). Returns None when the edge list exceeds the limit
+    overhead when the edge list fits in driver memory. One limit-guarded
+    collect replaces the whole loop: if the collect comes back complete
+    (≤ limit rows), union-find with min-id labels computes the IDENTICAL
+    (node, component) fixpoint — component = min reachable node id — and
+    the result returns as a local relation (broadcast-sized by
+    construction). The input may be the RAW undirected pair list (r6):
+    union-find is direction-free and idempotent, so neither symmetry nor
+    dedup is required. Returns None when the edge list exceeds the limit
     (collect truncated → fall back to the distributed loop). The same
     scale-adaptive eager-metadata pattern as choose_asof_strategy."""
     rows = edges.limit(limit + 1).collect()
@@ -540,9 +542,11 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     choose_asof_strategy). Exceeding max_iter raises instead of silently
     returning unconverged labels.
 
-    Iterative-algorithm hygiene: the edge list is localCheckpoint()ed ONCE
-    up front (otherwise EVERY round recomputes the upstream candidate-pair
-    pipeline — measured 22.8 s → 9.5 s on the sf0.1 dedup_groups bench),
+    Iterative-algorithm hygiene: the RAW pair list is localCheckpoint()ed
+    ONCE up front (otherwise EVERY round — or the fast-path collect —
+    recomputes the upstream candidate-pair pipeline; measured 22.8 s →
+    9.5 s on the sf0.1 dedup_groups bench), the distributed loop's
+    deduplicated symmetric edge list is built from that checkpoint,
     and labels are checkpointed each round so the convergence check and the
     next round's join share one materialization instead of growing lineage
     (labels are small: one (node, component) row per non-singleton node).
@@ -565,15 +569,24 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
 
     Returns (node, component) — component = min node id reachable.
     """
-    edges = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-             .unionByName(
-                 pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-             .distinct()
-             .localCheckpoint())
+    # r6: the lineage cut happens on the RAW (u, v) pair list — half the
+    # rows of the symmetric form, and the driver union-find neither needs
+    # symmetry nor dedup (union(u, v) is direction-free and idempotent),
+    # so the small-graph fast path skips the symmetric-union + distinct
+    # exchange entirely. The distributed loop builds its deduplicated
+    # symmetric edge list FROM this checkpoint (one cheap job) and
+    # re-checkpoints it so the per-round joins still read a materialized
+    # relation.
+    raw = (pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+           .localCheckpoint())
     if driver_max_edges and driver_max_edges > 0:
-        local = _cc_driver_side(edges, driver_max_edges)
+        local = _cc_driver_side(raw, driver_max_edges)
         if local is not None:
             return local
+    edges = (raw.unionByName(raw.select(F.col("v").alias("u"),
+                                        F.col("u").alias("v")))
+             .distinct()
+             .localCheckpoint())
 
     def jump(stepped):
         # pointer jump: component ← component's component (labels form a
