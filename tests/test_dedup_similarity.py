@@ -244,6 +244,20 @@ def test_connected_components_driver_vs_distributed(spark):
     assert fast == dist and len(fast) > 0
 
 
+def test_cc_driver_side_is_local_relation(spark):
+    """r6: the fast path's result must plan as a JVM LocalTableScan (known
+    small stats -> broadcastable downstream), never a Python-backed
+    ExistingRDD — and the pandas conversion must not perturb values."""
+    from clj_nlp_parse_spark.operators import dedup as DD
+    pairs = spark.createDataFrame(
+        [(5, 1), (1, 3), (9, 8)], "doc_a long, doc_b long")
+    comp = DD.connected_components(pairs)
+    plan = comp._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "ExistingRDD" not in plan
+    got = {(r.node, r.component) for r in comp.collect()}
+    assert got == {(5, 1), (1, 1), (3, 1), (9, 8), (8, 8)}
+
+
 def test_dedup_groups_keep_semantics(spark):
     # a~b and b~c (transitively) must BOTH drop; singletons keep themselves
     from clj_nlp_parse_spark.operators import dedup as DD
